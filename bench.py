@@ -1,0 +1,87 @@
+"""Benchmark: 20 MHz PDSCH receive pipeline throughput on one TPU chip.
+
+Headline metric (BASELINE.md): subframes/s of the full 20 MHz (100 PRB)
+PDSCH receiver — channel estimation, MMSE equalisation, 64QAM soft demod,
+descrambling, rate dematching and windowed max-log-MAP turbo decode with CRC
+check — batched over subframes.  vs_baseline is measured against the
+reference's implicit real-time budget of 1000 subframes/s (srsRAN processes
+one 1 ms subframe per 1 ms across its worker pipeline; see
+BASELINE.md "Real-time budget", srsenb/src/phy/txrx.cc:140).
+
+Prints exactly ONE JSON line on stdout; details go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from srsran_4g_tpu.channel.awgn import awgn, snr_to_noise_var
+    from srsran_4g_tpu.models import grid as G, pdsch
+
+    cell = G.CellConfig(nof_prb=100, cell_id=123, cfi=1)
+    # 20 MHz, 64QAM, TBS 75376 (max single-stream 64QAM TBS @ 100 PRB)
+    cfg = pdsch.PdschConfig(
+        cell=cell, rnti=0x1234, subframe=4, mod="64qam", tbs=75376
+    )
+    batch = 32
+    n_iter = 4
+
+    print(
+        f"bench: 100 PRB 64QAM tbs={cfg.tbs} G={cfg.g_bits} "
+        f"nof_re={cfg.nof_re} batch={batch} CBs={cfg.plan.segm.C}",
+        file=sys.stderr,
+    )
+
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(0, 2, size=(batch, cfg.tbs)).astype(np.int8))
+
+    @jax.jit
+    def make_rx(bits, key):
+        tx = pdsch.add_crs(cfg, pdsch.encode(cfg, bits))
+        nv = snr_to_noise_var(30.0)
+        return awgn(key, tx, nv)
+
+    rx = jax.block_until_ready(make_rx(bits, jax.random.PRNGKey(1)))
+
+    @jax.jit
+    def rx_step(rx_grid):
+        out = pdsch.decode(cfg, rx_grid, n_iter=n_iter)
+        return out["bits"], out["crc_ok"]
+
+    # warmup / compile
+    out_bits, ok = jax.block_until_ready(rx_step(rx))
+    ok_frac = float(np.mean(np.asarray(ok)))
+    print(f"bench: warmup crc_ok fraction = {ok_frac}", file=sys.stderr)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jax.block_until_ready(rx_step(rx))
+    dt = time.perf_counter() - t0
+
+    sf_per_s = batch * iters / dt
+    result = {
+        "metric": "pdsch_rx_subframes_per_sec_20mhz_64qam",
+        "value": round(sf_per_s, 2),
+        "unit": "subframes/s",
+        "vs_baseline": round(sf_per_s / 1000.0, 3),
+    }
+    print(
+        f"bench: {sf_per_s:.1f} sf/s ({sf_per_s * cfg.tbs / 1e6:.1f} Mb/s info"
+        f", crc_ok={ok_frac})",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,11 +27,13 @@ _NCOLS = 32
 
 
 @functools.lru_cache(maxsize=1024)
-def _w_to_d_index(k: int) -> np.ndarray:
+def _w_to_d_index(k: int, n_filler: int = 0) -> np.ndarray:
     """Map circular-buffer position → flat index into d (3, K+4), -1 = NULL.
 
     Implements the §5.1.4.1.1 sub-block interleavers and §5.1.4.1.2 bit
-    collection for stream length D = K+4.
+    collection for stream length D = K+4.  Filler bits (first ``n_filler``
+    positions of the systematic and parity-1 streams, TS 36.212 §5.1.3.2.1)
+    are additional NULLs, never transmitted.
     """
     d = k + 4
     rows = (d + _NCOLS - 1) // _NCOLS
@@ -41,9 +43,12 @@ def _w_to_d_index(k: int) -> np.ndarray:
     # position y_idx[i] = index into the d-stream (or -1 for NULL padding)
     y = np.full(kp, -1, dtype=np.int64)
     y[nd:] = np.arange(d)
+    y01 = y.copy()
+    if n_filler:
+        y01[nd:nd + n_filler] = -1  # fillers NULL in streams 0 and 1 only
 
     # streams 0/1: write row-major into R x 32, permute columns, read col-major
-    mat = y.reshape(rows, _NCOLS)
+    mat = y01.reshape(rows, _NCOLS)
     v01 = mat[:, RM_PERM_TC].T.reshape(-1)  # column-major read-out
 
     # stream 2: v2[idx] = y[pi(idx)], pi(idx) = (P[idx // R] + 32*(idx % R) + 1) % Kp
@@ -68,14 +73,16 @@ def _rv_start(k: int, rv: int, ncb: int) -> int:
 
 
 @functools.lru_cache(maxsize=4096)
-def rm_indices(k: int, rv: int, e: int, ncb: int | None = None) -> np.ndarray:
+def rm_indices(
+    k: int, rv: int, e: int, ncb: int | None = None, n_filler: int = 0
+) -> np.ndarray:
     """Gather indices g (E,) into flat d (3*(K+4),) for one transmission.
 
     out[j] = d_flat[g[j]] reproduces the reference's
     `srsran_rm_turbo_tx_lut`; the same indices drive the dematching
     scatter-add.
     """
-    w = _w_to_d_index(k)
+    w = _w_to_d_index(k, n_filler)
     kw = w.shape[0]
     if ncb is None:
         ncb = kw
@@ -89,9 +96,11 @@ def rm_indices(k: int, rv: int, e: int, ncb: int | None = None) -> np.ndarray:
     return w[sel]
 
 
-def rate_match(d: jnp.ndarray, k: int, rv: int, e: int) -> jnp.ndarray:
+def rate_match(
+    d: jnp.ndarray, k: int, rv: int, e: int, n_filler: int = 0
+) -> jnp.ndarray:
     """d (B, 3, K+4) bits → (B, E) rate-matched bits."""
-    g = jnp.asarray(rm_indices(k, rv, e))
+    g = jnp.asarray(rm_indices(k, rv, e, n_filler=n_filler))
     flat = d.reshape(d.shape[:-2] + (3 * (k + 4),))
     return flat[..., g]
 
@@ -101,6 +110,7 @@ def rate_dematch(
     k: int,
     rv: int,
     softbuffer: jnp.ndarray | None = None,
+    n_filler: int = 0,
 ) -> jnp.ndarray:
     """Soft-combine received LLRs into the d-stream soft-buffer.
 
@@ -113,7 +123,7 @@ def rate_dematch(
       (B, 3, K+4) combined LLRs — feed straight into ops.turbo.turbo_decode.
     """
     e = e_llr.shape[-1]
-    g = jnp.asarray(rm_indices(k, rv, e))
+    g = jnp.asarray(rm_indices(k, rv, e, n_filler=n_filler))
     batch = e_llr.shape[:-1]
     if softbuffer is None:
         flat = jnp.zeros(batch + (3 * (k + 4),), dtype=jnp.float32)

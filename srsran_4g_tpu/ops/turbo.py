@@ -389,8 +389,12 @@ def turbo_decode(
     iperm = jnp.asarray(qpp_inverse(k))
     ls_int = ls[..., perm]
 
-    if window is not None and (k % window != 0 or window <= train):
-        window = None  # fall back to exact recursion for awkward sizes
+    if window is not None:
+        # largest divisor of K that is <= the requested window and > train,
+        # so awkward sizes still get a parallel-window decode
+        window = next(
+            (l for l in range(min(window, k), train, -1) if k % l == 0), None
+        )
 
     def half(lsa, lp, tsys, tpar):
         if window is None:
