@@ -102,10 +102,10 @@ def dlsch_encode(plan: DlschPlan, tb_bits: jnp.ndarray) -> jnp.ndarray:
     tb_crc = crc_ops.crc_compute(tb_bits, "24A")
     full = jnp.concatenate([tb_bits.astype(jnp.int8), tb_crc], axis=-1)
 
-    outputs: list[jnp.ndarray | None] = [None] * s.C
+    outputs: list[jnp.ndarray] = []
     pos = 0
-    cb_idx = 0
     for grp in plan.groups:
+        segs = []
         for i in range(grp.count):
             n_fill = grp.n_filler if i == 0 else 0
             dlen = grp.K - s.L_cb - n_fill
@@ -119,11 +119,16 @@ def dlsch_encode(plan: DlschPlan, tb_bits: jnp.ndarray) -> jnp.ndarray:
                 seg = jnp.concatenate(
                     [seg, crc_ops.crc_compute(seg, "24B")], axis=-1
                 )
-            d = turbo.turbo_encode(seg)
-            outputs[cb_idx] = rm.rate_match(
-                d, grp.K, plan.rv, grp.e_bits[i], n_filler=n_fill
+            segs.append(seg)
+        # one turbo-encode scan for the whole size group: (B*count, K)
+        stacked = jnp.stack(segs, axis=1).reshape(b * grp.count, grp.K)
+        d = turbo.turbo_encode(stacked).reshape(b, grp.count, 3, grp.K + 4)
+        for i in range(grp.count):
+            n_fill = grp.n_filler if i == 0 else 0
+            outputs.append(
+                rm.rate_match(d[:, i], grp.K, plan.rv, grp.e_bits[i],
+                              n_filler=n_fill)
             )
-            cb_idx += 1
     assert pos == plan.tbs + 24
     return jnp.concatenate(outputs, axis=-1)
 

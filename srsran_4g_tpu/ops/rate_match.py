@@ -105,6 +105,42 @@ def rate_match(
     return flat[..., g]
 
 
+@functools.lru_cache(maxsize=1024)
+def conv_rm_indices(n: int, e: int) -> np.ndarray:
+    """Rate-matching gather for convolutionally-coded channels
+    (TS 36.212 §5.1.4.2, reference rm_conv.c): indices (E,) into the flat
+    (3*N,) d-streams."""
+    from srsran_4g_tpu.utils.constants import RM_PERM_CC
+
+    rows = (n + _NCOLS - 1) // _NCOLS
+    kp = rows * _NCOLS
+    nd = kp - n
+    y = np.full(kp, -1, dtype=np.int64)
+    y[nd:] = np.arange(n)
+    v = y.reshape(rows, _NCOLS)[:, RM_PERM_CC].T.reshape(-1)
+    w = np.concatenate([np.where(v >= 0, s * n + v, -1) for s in range(3)])
+    valid = w[w >= 0]
+    reps = (e + valid.shape[0] - 1) // valid.shape[0]
+    return np.tile(valid, reps)[:e]
+
+
+def conv_rate_match(d: jnp.ndarray, e: int) -> jnp.ndarray:
+    """d (B, 3, N) bits → (B, E)."""
+    n = d.shape[-1]
+    g = jnp.asarray(conv_rm_indices(n, e))
+    return d.reshape(d.shape[:-2] + (3 * n,))[..., g]
+
+
+def conv_rate_dematch(e_llr: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(B, E) LLRs → (B, 3, N) combined d-stream LLRs."""
+    e = e_llr.shape[-1]
+    g = jnp.asarray(conv_rm_indices(n, e))
+    batch = e_llr.shape[:-1]
+    flat = jnp.zeros(batch + (3 * n,), dtype=jnp.float32)
+    flat = flat.at[..., g].add(e_llr.astype(jnp.float32))
+    return flat.reshape(batch + (3, n))
+
+
 def rate_dematch(
     e_llr: jnp.ndarray,
     k: int,
