@@ -1,5 +1,6 @@
 """Per-component timing of the 20 MHz PDSCH receive chain on TPU."""
 import time, sys
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 
