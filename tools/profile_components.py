@@ -30,7 +30,7 @@ ccfg = chest.ChestConfig(cell=cell)
 f_chest = jax.jit(lambda g: chest.estimate(ccfg, g, cfg.subframe))
 est = timeit("chest", f_chest, rx)
 
-idx = jnp.asarray(cfg.re_indices)
+idx = np.asarray(cfg.re_indices)
 def eq_fn(g, h, nv):
     y = g.reshape(B, -1)[:, idx]
     h_re = h.reshape(B, -1)[:, idx]
@@ -41,8 +41,8 @@ x, eff = timeit("equalize", f_eq, rx, est["h"], est["noise_var"])
 f_dem = jax.jit(lambda x, nv: modem.demodulate_soft(cfg.mod, x, nv))
 llr = timeit("demod_64qam", f_dem, x, eff)
 
-seq = jnp.asarray(cfg.scramble_seq)
-f_scr = jax.jit(lambda l: scrambling.descramble_llrs(l.reshape(B, -1), seq))
+seq = np.asarray(cfg.scramble_seq)
+f_scr = jax.jit(lambda l: scrambling.descramble_llrs(l.reshape(B, -1), jnp.asarray(seq)))
 llrs = timeit("descramble", f_scr, llr)
 
 f_dec = jax.jit(lambda l: sch.dlsch_decode(cfg.plan, l, n_iter=4)[0:2])
