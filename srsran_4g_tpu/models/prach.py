@@ -1,0 +1,155 @@
+"""PRACH: random-access preamble generation and detection, TS 36.211 §5.7.
+
+Counterpart of the reference's `lib/src/phy/phch/prach.c` (ZC preamble
+generation with logical→physical root mapping and cyclic-shift planning,
+plus the FFT-correlation detector the eNB runs in its prach_worker thread
+pool — here a single batched tensor program).
+
+Format 0 (the common case): N_zc = 839, Δf_RA = 1.25 kHz, T_seq = 0.8 ms
+⇒ the sequence occupies 12·symbol_sz samples at the LTE sample rate, CP of
+3168·(symbol_sz/2048) samples.
+
+Detection runs entirely in the PRACH frequency domain: one FFT of the
+received window, a gather of the 839 PRACH bins, multiplication with the
+conjugated root sequences (batched over roots), one IFFT back — the peak
+position inside each cyclic-shift window gives preamble index and timing
+advance for *all* 64 preambles of *all* batched captures at once.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+_NPZ = os.path.join(os.path.dirname(__file__), "..", "utils", "prach_tables.npz")
+N_ZC = 839
+
+
+@functools.lru_cache(maxsize=1)
+def _tables():
+    with np.load(os.path.abspath(_NPZ)) as z:
+        return {k: z[k] for k in z.files}
+
+
+@dataclass(frozen=True)
+class PrachConfig:
+    symbol_sz: int  # system FFT size (128..2048)
+    root_seq_index: int  # RACH_ROOT_SEQUENCE (logical index)
+    zero_corr_zone: int = 1  # zeroCorrelationZoneConfig (unrestricted)
+    n_prb_offset: int = 0  # prach-FreqOffset
+    format: int = 0
+
+    @property
+    def n_cs(self) -> int:
+        return int(_tables()["ncs_unrestricted"][self.zero_corr_zone])
+
+    @property
+    def seq_len_samples(self) -> int:
+        return 12 * self.symbol_sz  # 0.8 ms at the system rate
+
+    @property
+    def cp_len(self) -> int:
+        return 3168 * self.symbol_sz // 2048
+
+    @property
+    def shifts_per_root(self) -> int:
+        return N_ZC // self.n_cs if self.n_cs else 1
+
+    def preamble_plan(self) -> list[tuple[int, int]]:
+        """(root u, cyclic shift) for preamble indices 0..63 (unrestricted
+        sets, TS 36.211 §5.7.2)."""
+        t = _tables()
+        out = []
+        i_root = 0
+        while len(out) < 64:
+            u = int(t["logical_to_root"][(self.root_seq_index + i_root) % 838])
+            for v in range(self.shifts_per_root):
+                out.append((u, v * self.n_cs))
+                if len(out) == 64:
+                    break
+            i_root += 1
+        return out
+
+
+@functools.lru_cache(maxsize=64)
+def _root_seq_freq(u: int) -> np.ndarray:
+    """ZC root sequence — the preamble is DEFINED in the frequency domain as
+    x_u(n) = exp(-jπun(n+1)/839) mapped to consecutive PRACH bins."""
+    n = np.arange(N_ZC)
+    return np.exp(-1j * np.pi * u * n * (n + 1) / N_ZC).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=16)
+def _bin0(cfg: PrachConfig) -> int:
+    """First PRACH frequency bin (Δf_RA units) inside the big IFFT.
+
+    The preamble sits in 6 PRBs starting at n_prb_offset, with the φ=7
+    half-carrier guard of TS 36.211 §5.7.3.
+    """
+    return 12 * 12 * cfg.n_prb_offset + 7
+
+
+def generate(cfg: PrachConfig, preamble_idx: int) -> jnp.ndarray:
+    """Time-domain preamble (CP + sequence) at the system sample rate."""
+    u, shift = cfg.preamble_plan()[preamble_idx]
+    seq = np.roll(_root_seq_freq(u), 0)
+    if shift:
+        n = np.arange(N_ZC)
+        seq = seq * np.exp(2j * np.pi * shift * n / N_ZC)
+    nfft = cfg.seq_len_samples
+    freq = np.zeros(nfft, dtype=np.complex64)
+    b0 = _bin0(cfg)
+    freq[b0:b0 + N_ZC] = seq
+    t = np.fft.ifft(freq).astype(np.complex64) * np.sqrt(nfft / N_ZC)
+    out = np.concatenate([t[-cfg.cp_len:], t])
+    return jnp.asarray(out)
+
+
+def detect(
+    cfg: PrachConfig,
+    samples: jnp.ndarray,
+    threshold: float = 0.5,
+) -> dict:
+    """Detect preambles in a (B, cp+seq) capture aligned to the PRACH slot.
+
+    Returns dict(power (B, 64) normalised correlation peak per preamble,
+    delay_samples (B, 64), detected (B, 64) bool).
+    """
+    seq = samples[..., cfg.cp_len:cfg.cp_len + cfg.seq_len_samples]
+    freq = jnp.fft.fft(seq, axis=-1)
+    b0 = _bin0(cfg)
+    y = freq[..., b0:b0 + N_ZC]  # (B, 839)
+
+    plan = cfg.preamble_plan()
+    roots = sorted({u for u, _ in plan})
+    root_mat = np.stack([np.conj(_root_seq_freq(u)) for u in roots])  # (R, 839)
+    corr_f = y[..., None, :] * jnp.asarray(root_mat)  # (B, R, 839)
+    # zero-pad IFFT for finer delay resolution
+    nfft = 2048
+    corr_t = jnp.fft.ifft(corr_f, n=nfft, axis=-1)
+    power = jnp.abs(corr_t) ** 2  # (B, R, nfft)
+    energy = jnp.mean(jnp.abs(y) ** 2, axis=-1)[..., None, None] + 1e-12
+    power = power * N_ZC / (energy * N_ZC / nfft) / nfft
+
+    # A cyclic shift of +s (in ZC units) peaks at IFFT bin (N_zc − s)·scale;
+    # a propagation delay of τ ZC units moves the peak *up* by τ·scale.
+    # Preamble v therefore owns the window starting at (N_zc − v·Ncs)·scale.
+    scale = nfft / N_ZC
+    powers, delays = [], []
+    for idx, (u, shift) in enumerate(plan):
+        r = roots.index(u)
+        lo = int(round(((N_ZC - shift) % N_ZC) * scale))
+        width = max(int(np.floor(cfg.n_cs * scale)), 1) if cfg.n_cs else nfft
+        win = power[..., r, :]
+        idxs = (lo + np.arange(width)) % nfft
+        w = win[..., jnp.asarray(idxs)]
+        powers.append(jnp.max(w, axis=-1))
+        peak = jnp.argmax(w, axis=-1)  # offset within window = delay
+        delays.append(peak * cfg.seq_len_samples / nfft)
+    p = jnp.stack(powers, axis=-1)
+    d = jnp.stack(delays, axis=-1)
+    return dict(power=p, delay_samples=d, detected=p > threshold)
