@@ -337,8 +337,7 @@ def _map_windowed(lsa, lp, tail_sys, tail_par, win_len, train_len):
     # produce beta at k = w*l + l .. w*l + 1, which are exactly the
     # beta_{k+1} values needed for k = w*l + l - 1 .. w*l.
     _, betas = jax.lax.scan(
-        bstep_collect, b_carry, (gs_winb[t - 1:], gp_winb[t - 1:], vmask_b[t - 1:]),
-        unroll=8,
+        bstep_collect, b_carry, (gs_winb[t - 1:], gp_winb[t - 1:], vmask_b[t - 1:])
     )
     betas = betas[:l]  # (L, B, W, 8), beta at k = w*l + l - j
     beta_next = jnp.moveaxis(betas, 0, -2)[..., ::-1, :]  # (B, W, L, 8) at k+1
