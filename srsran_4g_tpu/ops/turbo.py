@@ -349,6 +349,53 @@ def _map_windowed(lsa, lp, tail_sys, tail_par, win_len, train_len):
     return llr.reshape(batch + (k,))
 
 
+def _map_windowed_pl(lsa, lp, tail_sys, tail_par, win_len, train_len,
+                     interpret=False):
+    """Windowed max-log BCJR on the Pallas TPU kernel (same math as
+    `_map_windowed`, sequential work moved into one Mosaic program)."""
+    from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas
+
+    assert lsa.ndim == 2
+    b, k = lsa.shape
+    l, t = win_len, train_len
+    w = k // l
+    n = b * w
+
+    gs = jnp.moveaxis(lsa, -1, 0)  # (K, B)
+    gp = jnp.moveaxis(lp, -1, 0)
+
+    k_idx = (np.arange(w)[None, :] * l) - t + np.arange(t + l)[:, None]
+    valid = (k_idx >= 0).astype(np.float32)
+    gidx = jnp.asarray(np.clip(k_idx, 0, k - 1))
+    # (T+L, B, W) → (T+L, N)
+    gsa = jnp.moveaxis(gs[gidx], -1, 1).reshape(t + l, n)
+    gpa = jnp.moveaxis(gp[gidx], -1, 1).reshape(t + l, n)
+    ma = jnp.asarray(np.broadcast_to(valid[:, None, :], (t + l, b, w))
+                     .reshape(t + l, n))
+
+    k_idx_b = (np.arange(w)[None, :] * l + l + t - 1) - np.arange(t + l)[:, None]
+    valid_b = (k_idx_b <= k - 1).astype(np.float32)
+    gidx_b = jnp.asarray(np.clip(k_idx_b, 0, k - 1))
+    gsb = jnp.moveaxis(gs[gidx_b], -1, 1).reshape(t + l, n)
+    gpb = jnp.moveaxis(gp[gidx_b], -1, 1).reshape(t + l, n)
+    mb = jnp.asarray(np.broadcast_to(valid_b[:, None, :], (t + l, b, w))
+                     .reshape(t + l, n))
+
+    a_init = jnp.zeros((b, w, 8), jnp.float32)
+    a_init = a_init.at[:, 0, 1:].set(_NEG)
+    b_init = jnp.zeros((b, w, 8), jnp.float32)
+    b_init = b_init.at[:, w - 1, :].set(_exact_boundary_beta(tail_sys, tail_par))
+    a_init = jnp.moveaxis(a_init.reshape(n, 8), -1, 0)  # (8, N)
+    b_init = jnp.moveaxis(b_init.reshape(n, 8), -1, 0)
+
+    llr = map_windowed_pallas(
+        gsa, gpa, ma, gsb, gpb, mb, a_init, b_init, t, l, interpret=interpret
+    )  # (L, N)
+    # llr[pos, b*W + w] = LLR at trellis k = w*l + pos
+    llr = llr.reshape(l, b, w)
+    return jnp.moveaxis(llr, 0, -1).reshape(b, k)
+
+
 # --- full decoder -----------------------------------------------------------
 
 
@@ -358,6 +405,7 @@ def turbo_decode(
     window: int | None = 128,
     train: int = 32,
     ext_scale: float = 0.75,
+    backend: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Decode turbo code blocks from d-stream LLRs.
 
@@ -370,10 +418,15 @@ def turbo_decode(
         full-length recursion.
       train: training prologue length T (< window).
       ext_scale: extrinsic scaling factor for max-log.
+      backend: "pallas" (TPU Mosaic kernel), "xla" (lax.scan), or "auto"
+        (pallas on TPU, xla elsewhere).  "pallas_interpret" runs the
+        kernel in interpreter mode (CPU testing).
 
     Returns:
       (hard_bits (B, K) int8, app_llr (B, K) float32).
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
     k = d_llr.shape[-1] - 4
     d0, d1, d2 = d_llr[..., 0, :], d_llr[..., 1, :], d_llr[..., 2, :]
     ls = d0[..., :k]
@@ -399,6 +452,11 @@ def turbo_decode(
     def half(lsa, lp, tsys, tpar):
         if window is None:
             return _map_full(lsa, lp, tsys, tpar)
+        if backend == "pallas":
+            return _map_windowed_pl(lsa, lp, tsys, tpar, window, train)
+        if backend == "pallas_interpret":
+            return _map_windowed_pl(lsa, lp, tsys, tpar, window, train,
+                                    interpret=True)
         return _map_windowed(lsa, lp, tsys, tpar, window, train)
 
     la1 = jnp.zeros_like(ls)
