@@ -1,22 +1,25 @@
 """Pallas TPU kernel: one windowed max-log-MAP half-iteration.
 
 The XLA windowed decoder in ops/turbo.py spends its time in `lax.scan`
-dispatch overhead — each 8-state ACS step is tiny (µs-scale per step on a
-(B, W, 8) tensor) while a whole half-iteration is thousands of steps.  This
-kernel runs the *entire* half-iteration per tile inside one Mosaic program:
+dispatch overhead — each 8-state ACS step is tiny while a whole
+half-iteration is thousands of steps.  This kernel runs the entire
+half-iteration per tile inside one Mosaic program:
 
 - layout (8 states × N lanes), N = B·W windows flattened into the lane
   dimension — the state dimension sits in sublanes, every lane is an
   independent window;
-- the forward (alpha) and backward (beta) recursions run *in the same
-  fori_loop step* (they are independent), halving the sequential step
-  count; alpha values for the window body are parked in a VMEM scratch
-  buffer and consumed by the LLR computation as the backward sweep passes
-  over the same trellis indices;
-- the 8-state ACS is fully unrolled with static predecessor tables — no
-  gathers, just static row slices, adds and maxima on the VPU.
+- the 8-state ACS works on whole (8, NT) vregs: the predecessor
+  permutation is one static row-restack, the branch metrics are constant
+  (8, 1) masks broadcast against the (1, NT) gamma rows — no per-state
+  scalar code, no gathers;
+- the no-op masking that protects window 0 (alpha) / the last window
+  (beta) is only needed during the T training steps, so the loop is split
+  into a masked training loop and an unmasked body loop;
+- alpha values for the window body are parked in a VMEM scratch buffer and
+  consumed by the LLR computation as the backward sweep passes the same
+  trellis indices.
 
-Inputs are the per-window gamma streams and no-op masks precomputed by
+Inputs are the per-window gamma streams and masks precomputed by
 ops/turbo.py (identical to the XLA path), so the two backends are
 numerically interchangeable; `interpret=True` is used on CPU in tests.
 """
@@ -36,98 +39,101 @@ from jax.experimental.pallas import tpu as pltpu
 def _tables():
     from srsran_4g_tpu.ops.turbo import _trellis
 
-    t = _trellis()
-    return {
-        "pred": t["pred"].tolist(),
-        "pred_u": t["pred_u"].tolist(),
-        "pred_p": t["pred_p"].tolist(),
-        "ns": t["ns"].tolist(),
-        "par": t["par"].tolist(),
-    }
+    return _trellis()
 
 
-# NOTE on the alpha-store race: the backward sweep reads astore[idx] with
-# idx = L+T-2-i while the forward sweep writes astore[i-T].  The read of
-# body position k happens at step i_r = L+T-2-k, the write at i_w = k+T;
-# i_r >= i_w  ⇔  L-2 >= 2k — NOT true for the upper half of the window.
-# We therefore run the loop in TWO phases: phase 1 (steps 0..T+L-1) does
-# alpha only; phase 2 re-runs the backward recursion with LLR.  See
-# map_windowed_pallas which calls the two-phase kernel below.
+def _restack(x, order):
+    """Static sublane permutation of an (8, NT) array."""
+    return jnp.concatenate([x[s:s + 1, :] for s in order], axis=0)
 
 
-def _make_kernel_two_phase(t_train: int, l_win: int, nt: int):
+def _const_col(vals):
+    """(8, 1) 0/1 column built in-kernel from a scalar bit pattern (Pallas
+    kernels may not capture array constants)."""
+    pattern = int(sum(int(v) << i for i, v in enumerate(vals)))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    return ((pattern >> iota) & 1).astype(jnp.float32)
+
+
+def _make_kernel(t_train: int, l_win: int):
     tab = _tables()
-    pred, pred_u, pred_p = tab["pred"], tab["pred_u"], tab["pred_p"]
-    ns, par = tab["ns"], tab["par"]
+    pred0 = tuple(int(v) for v in tab["pred"][:, 0])
+    pred1 = tuple(int(v) for v in tab["pred"][:, 1])
+    u0v, u1v = tab["pred_u"][:, 0], tab["pred_u"][:, 1]
+    q0v, q1v = tab["pred_p"][:, 0], tab["pred_p"][:, 1]
+    ns0 = tuple(int(v) for v in tab["ns"][:, 0])
+    ns1 = tuple(int(v) for v in tab["ns"][:, 1])
+    p0v, p1v = tab["par"][:, 0], tab["par"][:, 1]
     steps = t_train + l_win
 
     def kernel(gsa, gpa, ma, gsb, gpb, mb, a0, b0, out, astore):
-        def fwd(i, alpha):
-            @pl.when(i >= t_train)
-            def _():
-                astore[pl.ds(i - t_train, 1)] = alpha[None]
+        U0, U1 = _const_col(u0v), _const_col(u1v)
+        Q0, Q1 = _const_col(q0v), _const_col(q1v)
+        P0, P1 = _const_col(p0v), _const_col(p1v)
 
+        def alpha_acs(alpha, gs, gp):
+            c0 = _restack(alpha, pred0) + U0 * gs + Q0 * gp
+            c1 = _restack(alpha, pred1) + U1 * gs + Q1 * gp
+            new = jnp.maximum(c0, c1)
+            return new - jnp.max(new, axis=0, keepdims=True)
+
+        def beta_acs(beta, gs, gp):
+            c0 = _restack(beta, ns0) + P0 * gp
+            c1 = _restack(beta, ns1) + gs + P1 * gp
+            new = jnp.maximum(c0, c1)
+            return new - jnp.max(new, axis=0, keepdims=True)
+
+        # ---- alpha: masked training then unmasked body ---------------------
+        def fwd_train(i, alpha):
             gs = gsa[pl.ds(i, 1), :]
             gp = gpa[pl.ds(i, 1), :]
             m = ma[pl.ds(i, 1), :]
-            rows = []
-            for s in range(8):
-                c0 = alpha[pred[s][0]:pred[s][0] + 1, :]
-                if pred_u[s][0]:
-                    c0 = c0 + gs
-                if pred_p[s][0]:
-                    c0 = c0 + gp
-                c1 = alpha[pred[s][1]:pred[s][1] + 1, :]
-                if pred_u[s][1]:
-                    c1 = c1 + gs
-                if pred_p[s][1]:
-                    c1 = c1 + gp
-                rows.append(jnp.maximum(c0, c1))
-            new_a = jnp.concatenate(rows, axis=0)
-            new_a = new_a - jnp.max(new_a, axis=0, keepdims=True)
-            return m * new_a + (1.0 - m) * alpha
+            new = alpha_acs(alpha, gs, gp)
+            return m * new + (1.0 - m) * alpha
 
-        jax.lax.fori_loop(0, steps, fwd, a0[:, :])
+        alpha = jax.lax.fori_loop(0, t_train, fwd_train, a0[:, :])
 
-        def bwd(i, beta):
-            gsb_i = gsb[pl.ds(i, 1), :]
-            gpb_i = gpb[pl.ds(i, 1), :]
-            mb_i = mb[pl.ds(i, 1), :]
-            rows_b = []
-            for s in range(8):
-                c0 = beta[ns[s][0]:ns[s][0] + 1, :]
-                if par[s][0]:
-                    c0 = c0 + gpb_i
-                c1 = beta[ns[s][1]:ns[s][1] + 1, :] + gsb_i
-                if par[s][1]:
-                    c1 = c1 + gpb_i
-                rows_b.append(jnp.maximum(c0, c1))
-            new_b = jnp.concatenate(rows_b, axis=0)
-            new_b = new_b - jnp.max(new_b, axis=0, keepdims=True)
-            beta = mb_i * new_b + (1.0 - mb_i) * beta
+        def fwd_body(i, alpha):
+            astore[pl.ds(i - t_train, 1)] = alpha[None]
+            return alpha_acs(alpha, gsa[pl.ds(i, 1), :], gpa[pl.ds(i, 1), :])
 
-            @pl.when((i >= t_train - 1) & (i <= steps - 2))
+        jax.lax.fori_loop(t_train, steps, fwd_body, alpha)
+
+        # ---- beta: masked training then body with fused LLR ----------------
+        def bwd_train(i, beta):
+            gs = gsb[pl.ds(i, 1), :]
+            gp = gpb[pl.ds(i, 1), :]
+            m = mb[pl.ds(i, 1), :]
+            new = beta_acs(beta, gs, gp)
+            return m * new + (1.0 - m) * beta
+
+        # Masked steps (the last window's k >= K region) occur at i <= T-1,
+        # so training covers [0, T).  The beta after step T-1 is the
+        # beta_{k+1} of body position L-1 — emit its LLR before the body.
+        beta = jax.lax.fori_loop(0, t_train, bwd_train, b0[:, :])
+
+        def emit_llr(idx, beta, i_gamma):
+            a_k = astore[pl.ds(idx, 1)][0]
+            gsl = gsb[pl.ds(i_gamma, 1), :]
+            gpl = gpb[pl.ds(i_gamma, 1), :]
+            t0 = a_k + _restack(beta, ns0) + P0 * gpl
+            t1 = a_k + _restack(beta, ns1) + P1 * gpl
+            m0 = jnp.max(t0, axis=0, keepdims=True)
+            m1 = jnp.max(t1, axis=0, keepdims=True)
+            out[pl.ds(idx, 1), :] = m1 + gsl - m0
+
+        emit_llr(l_win - 1, beta, t_train)
+
+        def bwd_body(i, beta):
+            beta = beta_acs(beta, gsb[pl.ds(i, 1), :], gpb[pl.ds(i, 1), :])
+
+            @pl.when(i <= steps - 2)
             def _():
-                idx = l_win + t_train - 2 - i
-                a_k = astore[pl.ds(idx, 1)][0]
-                gsl = gsb[pl.ds(i + 1, 1), :]
-                gpl = gpb[pl.ds(i + 1, 1), :]
-                m0 = None
-                m1 = None
-                for s in range(8):
-                    c0 = a_k[s:s + 1, :] + beta[ns[s][0]:ns[s][0] + 1, :]
-                    if par[s][0]:
-                        c0 = c0 + gpl
-                    c1 = a_k[s:s + 1, :] + beta[ns[s][1]:ns[s][1] + 1, :]
-                    if par[s][1]:
-                        c1 = c1 + gpl
-                    m0 = c0 if m0 is None else jnp.maximum(m0, c0)
-                    m1 = c1 if m1 is None else jnp.maximum(m1, c1)
-                out[pl.ds(idx, 1), :] = m1 + gsl - m0
+                emit_llr(l_win + t_train - 2 - i, beta, i + 1)
 
             return beta
 
-        jax.lax.fori_loop(0, steps, bwd, b0[:, :])
+        jax.lax.fori_loop(t_train, steps, bwd_body, beta)
 
     return kernel
 
@@ -143,7 +149,7 @@ def map_windowed_pallas(
     b_init: jnp.ndarray,  # (8, N)
     t_train: int,
     l_win: int,
-    tile_n: int = 512,
+    tile_n: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns LLRs (L, N)."""
@@ -157,7 +163,7 @@ def map_windowed_pallas(
         a_init, b_init = padf(a_init), padf(b_init)
     np_ = gsa.shape[1]
 
-    kernel = _make_kernel_two_phase(t_train, l_win, tile_n)
+    kernel = _make_kernel(t_train, l_win)
     grid = (np_ // tile_n,)
     spec_g = pl.BlockSpec((steps, tile_n), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
