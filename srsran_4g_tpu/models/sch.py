@@ -139,6 +139,7 @@ def dlsch_decode(
     softbuffers: dict[int, jnp.ndarray] | None = None,
     n_iter: int = 5,
     window: int | None = 128,
+    early_stop: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict[int, jnp.ndarray]]:
     """Decode transport blocks from codeword LLRs.
 
@@ -175,7 +176,10 @@ def dlsch_decode(
             cb_idx += 1
         # one decoder call per size group over (B*count, 3, K+4)
         stacked = jnp.stack(d_group, axis=1).reshape(b * grp.count, 3, grp.K + 4)
-        hard, _ = turbo.turbo_decode(stacked, n_iter=n_iter, window=window)
+        early = ("24B" if s.L_cb else "24A") if early_stop else None
+        hard, _ = turbo.turbo_decode(
+            stacked, n_iter=n_iter, window=window, early_crc=early
+        )
         hard = hard.reshape(b, grp.count, grp.K)
         for i in range(grp.count):
             bits = hard[:, i]

@@ -406,6 +406,7 @@ def turbo_decode(
     train: int = 32,
     ext_scale: float = 0.75,
     backend: str = "auto",
+    early_crc: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Decode turbo code blocks from d-stream LLRs.
 
@@ -421,6 +422,11 @@ def turbo_decode(
       backend: "pallas" (TPU Mosaic kernel), "xla" (lax.scan), or "auto"
         (pallas on TPU, xla elsewhere).  "pallas_interpret" runs the
         kernel in interpreter mode (CPU testing).
+      early_crc: CRC key ("24A"/"24B") appended to each code block; when
+        given, iterations run in a `lax.while_loop` that exits as soon as
+        EVERY block in the batch passes its CRC — the reference's per-CB
+        early stop (sch.c decode_tb_cb), batched.  Leading zero filler
+        bits do not disturb the check (zero-init CRCs ignore them).
 
     Returns:
       (hard_bits (B, K) int8, app_llr (B, K) float32).
@@ -459,9 +465,7 @@ def turbo_decode(
                                     interpret=True)
         return _map_windowed(lsa, lp, tsys, tpar, window, train)
 
-    la1 = jnp.zeros_like(ls)
-    lapp2 = jnp.zeros_like(ls)
-    for _ in range(n_iter):
+    def iteration(la1):
         lsa1 = ls + la1
         lapp1 = half(lsa1, lp1, t1_sys, t1_par)
         e1 = ext_scale * (lapp1 - lsa1)
@@ -469,7 +473,38 @@ def turbo_decode(
         lsa2 = ls_int + la2
         lapp2 = half(lsa2, lp2, t2_sys, t2_par)
         e2 = ext_scale * (lapp2 - lsa2)
-        la1 = e2[..., iperm]
+        return e2[..., iperm], lapp2[..., iperm]
 
-    app = lapp2[..., iperm]
+    la1 = jnp.zeros_like(ls)
+    if early_crc is None:
+
+        def body(_, carry):
+            la1, _ = carry
+            return iteration(la1)
+
+        la1, app = jax.lax.fori_loop(
+            0, n_iter, body, (la1, jnp.zeros_like(ls))
+        )
+    else:
+        from srsran_4g_tpu.ops.crc import crc_matrix
+
+        g = jnp.asarray(crc_matrix(k, early_crc), dtype=jnp.float32)
+
+        def all_crc_ok(app):
+            bits = (app > 0).astype(jnp.float32)
+            rem = jnp.dot(bits, g, preferred_element_type=jnp.float32)
+            return jnp.all((rem.astype(jnp.int32) & 1) == 0)
+
+        def cond(carry):
+            _, app, it, done = carry
+            return (~done) & (it < n_iter)
+
+        def body(carry):
+            la1, _, it, _ = carry
+            la1, app = iteration(la1)
+            return la1, app, it + 1, all_crc_ok(app)
+
+        init = (la1, jnp.zeros_like(ls), jnp.int32(0), jnp.bool_(False))
+        la1, app, _, _ = jax.lax.while_loop(cond, body, init)
+
     return (app > 0).astype(jnp.int8), app
