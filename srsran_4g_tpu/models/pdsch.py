@@ -74,23 +74,51 @@ class PdschConfig:
 
 
 def encode(cfg: PdschConfig, tb_bits: jnp.ndarray) -> jnp.ndarray:
-    """TB bits (B, tbs) → resource grid (B, nsymb, nre) with PDSCH REs set."""
+    """TB bits (B, tbs) → resource grid with PDSCH REs set.
+
+    Returns (B, nsymb, nre) for 1 port, (B, 2, nsymb, nre) for 2 ports
+    (TM2 SFBC transmit diversity, TS 36.211 §6.3.4.3).
+    """
     cw = sch.dlsch_encode(cfg.plan, tb_bits)
     seq = jnp.asarray(cfg.scramble_seq)
     scr = scrambling.scramble_bits(cw, seq)
     syms = modem.modulate(cfg.mod, scr)  # (B, nof_re)
     b = tb_bits.shape[0]
-    flat = jnp.zeros((b, cfg.cell.nsymb * cfg.cell.nre), dtype=jnp.complex64)
-    flat = flat.at[:, jnp.asarray(cfg.re_indices)].set(syms)
-    return flat.reshape(b, cfg.cell.nsymb, cfg.cell.nre)
+    idx = jnp.asarray(cfg.re_indices)
+    if cfg.cell.nof_ports == 1:
+        flat = jnp.zeros((b, cfg.cell.nsymb * cfg.cell.nre), dtype=jnp.complex64)
+        flat = flat.at[:, idx].set(syms)
+        return flat.reshape(b, cfg.cell.nsymb, cfg.cell.nre)
+    assert cfg.cell.nof_ports == 2, "1 or 2 ports supported"
+    x0 = syms[:, 0::2]
+    x1 = syms[:, 1::2]
+    s = jnp.sqrt(2.0).astype(jnp.complex64)
+    p0 = jnp.stack([x0, x1], axis=-1).reshape(b, -1) / s
+    p1 = jnp.stack([-jnp.conj(x1), jnp.conj(x0)], axis=-1).reshape(b, -1) / s
+    flat = jnp.zeros((b, 2, cfg.cell.nsymb * cfg.cell.nre), dtype=jnp.complex64)
+    flat = flat.at[:, 0, idx].set(p0)
+    flat = flat.at[:, 1, idx].set(p1)
+    return flat.reshape(b, 2, cfg.cell.nsymb, cfg.cell.nre)
 
 
 def add_crs(cfg: PdschConfig, grid_tx: jnp.ndarray, port: int = 0) -> jnp.ndarray:
-    """Insert cell reference signals into a TX grid (enb_dl.c put_refs)."""
+    """Insert cell reference signals into a TX grid (enb_dl.c put_refs).
+
+    For multi-port grids (B, P, nsymb, nre), each port gets its own CRS and
+    zeros on the other ports' CRS REs (already guaranteed by the reserved
+    mask in the RE mapping).
+    """
     cell = cfg.cell
+    g = jnp.asarray(grid_tx)
+    if g.ndim >= 3 and cell.nof_ports >= 2 and g.shape[-3] == cell.nof_ports:
+        for p in range(cell.nof_ports):
+            syms, scs = G.crs_pattern(cell, p)
+            vals = jnp.asarray(G.crs_values(cell, p, cfg.subframe))
+            g = g.at[..., p, jnp.asarray(syms)[:, None], jnp.asarray(scs)].set(vals)
+        return g
     syms, scs = G.crs_pattern(cell, port)
     vals = jnp.asarray(G.crs_values(cell, port, cfg.subframe))
-    return grid_tx.at[..., jnp.asarray(syms)[:, None], jnp.asarray(scs)].set(vals)
+    return g.at[..., jnp.asarray(syms)[:, None], jnp.asarray(scs)].set(vals)
 
 
 def decode(
@@ -110,18 +138,32 @@ def decode(
     Returns dict(bits, crc_ok, softbuffers, h, noise_var, snr_db?).
     """
     out: dict = {}
+    two_port = cfg.cell.nof_ports == 2
     if h is None or noise_var is None:
         ccfg = chest_cfg or chest_mod.ChestConfig(cell=cfg.cell)
-        est = chest_mod.estimate(ccfg, rx_grid, cfg.subframe)
-        h = est["h"] if h is None else h
-        noise_var = est["noise_var"] if noise_var is None else noise_var
+        est = chest_mod.estimate(ccfg, rx_grid, cfg.subframe, port=0)
+        if two_port:
+            est1 = chest_mod.estimate(ccfg, rx_grid, cfg.subframe, port=1)
+            h = jnp.stack([est["h"], est1["h"]], axis=1) if h is None else h
+            noise_var = (
+                0.5 * (est["noise_var"] + est1["noise_var"])
+                if noise_var is None else noise_var
+            )
+        else:
+            h = est["h"] if h is None else h
+            noise_var = est["noise_var"] if noise_var is None else noise_var
         out["snr_db"] = est["snr_db"]
 
     idx = jnp.asarray(cfg.re_indices)
     b = rx_grid.shape[0]
     y = rx_grid.reshape(b, -1)[:, idx]
-    h_re = h.reshape(b, -1)[:, idx]
-    x, eff_nv = equalizer.equalize_single(y, h_re, noise_var)
+    if two_port:
+        h0 = h[:, 0].reshape(b, -1)[:, idx]
+        h1 = h[:, 1].reshape(b, -1)[:, idx]
+        x, eff_nv = equalizer.alamouti_decode_2x1(y, h0, h1, noise_var)
+    else:
+        h_re = h.reshape(b, -1)[:, idx]
+        x, eff_nv = equalizer.equalize_single(y, h_re, noise_var)
 
     # per-RE CSI-scaled LLRs: demod divides by the effective noise variance
     llr_scr = modem.demodulate_soft(cfg.mod, x, eff_nv)
