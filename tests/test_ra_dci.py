@@ -32,7 +32,7 @@ def test_riv_roundtrip(n_rb):
 
 
 def test_type0_alloc():
-    prbs = ra.type0_alloc_to_prbs(0b1000000000001, 50)
+    prbs = ra.type0_alloc_to_prbs((1 << 16) | 1, 50)
     # 50 PRB → P=3, 17 RBGs; first and last RBG set
     assert prbs[:3] == (0, 1, 2)
     assert prbs[-2:] == (48, 49)
