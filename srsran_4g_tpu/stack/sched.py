@@ -1,0 +1,168 @@
+"""eNB MAC downlink scheduler with RR / proportional-fair policies.
+
+Counterpart of the reference's `srsenb/src/stack/mac/sched*.cc`
+(SURVEY.md §2.5): per-UE state (CQI → MCS, 8 HARQ processes, buffer
+occupancy), a per-TTI PRB resource grid, pluggable time-domain policies
+(round-robin `sched_time_rr.cc`, proportional-fair `sched_time_pf.cc`),
+and the FAPI-like `get_dl_sched(tti)` contract the PHY pulls grants from
+(srsenb mac.cc:639).
+
+This is deliberately host-side Python: scheduling is branchy control-plane
+logic, not a TPU kernel (SURVEY §7.11).  The produced grants carry the
+exact (mcs, tbs, prb_mask, rv, harq_pid) tuples the TPU PDSCH pipeline
+consumes, so a scheduler-driven multi-subframe simulation feeds the PHY
+directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from srsran_4g_tpu.models import ra
+
+N_HARQ = 8
+MAX_RETX = 4
+# CQI (1..15) → max usable MCS, a simplified BLER-target mapping like the
+# reference's dl_cqi → MCS selection with conservative backoff
+_CQI_TO_MCS = [0, 0, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23, 25, 27]
+_RV_SEQ = [0, 2, 3, 1]
+
+
+@dataclass
+class HarqProc:
+    active: bool = False
+    tbs: int = 0
+    mcs: int = 0
+    prb_mask: tuple[int, ...] = ()
+    n_retx: int = 0
+    ndi: int = 0
+
+
+@dataclass
+class UeCtx:
+    rnti: int
+    cqi: int = 7
+    buffer_bytes: int = 0
+    harq: list[HarqProc] = field(default_factory=lambda: [HarqProc() for _ in range(N_HARQ)])
+    # PF bookkeeping
+    avg_rate: float = 1.0
+    pending_retx: list[int] = field(default_factory=list)
+
+    def free_harq(self) -> int | None:
+        for i, h in enumerate(self.harq):
+            if not h.active:
+                return i
+        return None
+
+
+@dataclass
+class DlGrant:
+    rnti: int
+    harq_pid: int
+    mcs: int
+    tbs: int
+    prb_mask: tuple[int, ...]
+    rv: int
+    ndi: int
+    is_retx: bool
+
+
+class DlScheduler:
+    """Per-carrier DL scheduler (sched.cc + sched_grid.cc equivalents)."""
+
+    def __init__(self, nof_prb: int, policy: str = "pf", pf_fairness: float = 0.05):
+        self.nof_prb = nof_prb
+        self.policy = policy
+        self.pf_fairness = pf_fairness
+        self.ues: dict[int, UeCtx] = {}
+
+    # --- FAPI-like upper interface (mac.cc:639 etc.) ------------------------
+
+    def ue_cfg(self, rnti: int) -> None:
+        self.ues.setdefault(rnti, UeCtx(rnti=rnti))
+
+    def ue_rem(self, rnti: int) -> None:
+        self.ues.pop(rnti, None)
+
+    def dl_rlc_buffer_state(self, rnti: int, nof_bytes: int) -> None:
+        self.ues[rnti].buffer_bytes = nof_bytes
+
+    def dl_cqi_info(self, rnti: int, cqi: int) -> None:
+        self.ues[rnti].cqi = max(1, min(15, cqi))
+
+    def dl_ack_info(self, rnti: int, harq_pid: int, ack: bool) -> None:
+        h = self.ues[rnti].harq[harq_pid]
+        if not h.active:
+            return
+        if ack or h.n_retx + 1 >= MAX_RETX:
+            h.active = False
+        else:
+            h.n_retx += 1
+            self.ues[rnti].pending_retx.append(harq_pid)
+
+    # --- core allocation ----------------------------------------------------
+
+    def _metric(self, ue: UeCtx) -> float:
+        inst = ra.dl_tbs(_CQI_TO_MCS[ue.cqi], max(self.nof_prb // 2, 1))
+        if self.policy == "rr":
+            return 1.0
+        return inst / max(ue.avg_rate, 1.0)
+
+    def get_dl_sched(self, tti: int) -> list[DlGrant]:
+        grants: list[DlGrant] = []
+        free_prbs = list(range(self.nof_prb))
+
+        # 1) retransmissions first (same PRB count, next rv)
+        for ue in self.ues.values():
+            while ue.pending_retx and free_prbs:
+                pid = ue.pending_retx.pop(0)
+                h = ue.harq[pid]
+                need = len(h.prb_mask)
+                if need > len(free_prbs):
+                    ue.pending_retx.insert(0, pid)
+                    break
+                prbs = tuple(free_prbs[:need])
+                free_prbs = free_prbs[need:]
+                grants.append(DlGrant(
+                    rnti=ue.rnti, harq_pid=pid, mcs=h.mcs, tbs=h.tbs,
+                    prb_mask=prbs, rv=_RV_SEQ[h.n_retx % 4], ndi=h.ndi,
+                    is_retx=True))
+                h.prb_mask = prbs
+
+        # 2) new transmissions by policy metric
+        cand = [u for u in self.ues.values()
+                if u.buffer_bytes > 0 and u.free_harq() is not None]
+        if self.policy == "rr":
+            cand.sort(key=lambda u: (tti + u.rnti) % max(len(self.ues), 1))
+        else:
+            cand.sort(key=self._metric, reverse=True)
+        for ue in cand:
+            if not free_prbs:
+                break
+            mcs = _CQI_TO_MCS[ue.cqi]
+            want_bits = ue.buffer_bytes * 8 + 32
+            n_prb = len(free_prbs)
+            # smallest PRB count meeting the buffer, capped at what's free
+            for n in range(1, len(free_prbs) + 1):
+                if ra.dl_tbs(mcs, n) >= want_bits:
+                    n_prb = n
+                    break
+            prbs = tuple(free_prbs[:n_prb])
+            free_prbs = free_prbs[n_prb:]
+            tbs = ra.dl_tbs(mcs, n_prb)
+            pid = ue.free_harq()
+            h = ue.harq[pid]
+            h.active, h.tbs, h.mcs, h.prb_mask = True, tbs, mcs, prbs
+            h.n_retx, h.ndi = 0, h.ndi ^ 1
+            grants.append(DlGrant(
+                rnti=ue.rnti, harq_pid=pid, mcs=mcs, tbs=tbs, prb_mask=prbs,
+                rv=0, ndi=h.ndi, is_retx=False))
+            ue.buffer_bytes = max(0, ue.buffer_bytes - tbs // 8)
+
+        # PF average-rate update (scheduled or not)
+        for ue in self.ues.values():
+            served = sum(g.tbs for g in grants
+                         if g.rnti == ue.rnti and not g.is_retx)
+            ue.avg_rate = (1 - self.pf_fairness) * ue.avg_rate + \
+                self.pf_fairness * served
+        return grants
