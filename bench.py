@@ -32,8 +32,11 @@ def main() -> None:
     cfg = pdsch.PdschConfig(
         cell=cell, rnti=0x1234, subframe=4, mod="64qam", tbs=75376
     )
-    batch = 32
-    n_iter = 4
+    import os
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    n_iter = int(os.environ.get("BENCH_TURBO_ITERS", "4"))
+    iters = int(os.environ.get("BENCH_REPS", "10"))
 
     print(
         f"bench: 100 PRB 64QAM tbs={cfg.tbs} G={cfg.g_bits} "
@@ -55,17 +58,18 @@ def main() -> None:
     @jax.jit
     def rx_step(rx_grid):
         out = pdsch.decode(cfg, rx_grid, n_iter=n_iter)
-        return out["bits"], out["crc_ok"]
+        # scalar summary forces a real device->host sync per call (the
+        # remote-TPU tunnel's block_until_ready alone is not reliable)
+        return jnp.sum(out["crc_ok"].astype(jnp.float32)), out["bits"]
 
     # warmup / compile
-    out_bits, ok = jax.block_until_ready(rx_step(rx))
-    ok_frac = float(np.mean(np.asarray(ok)))
+    n_ok, _ = rx_step(rx)
+    ok_frac = float(n_ok) / batch
     print(f"bench: warmup crc_ok fraction = {ok_frac}", file=sys.stderr)
 
-    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jax.block_until_ready(rx_step(rx))
+        v = float(rx_step(rx)[0])
     dt = time.perf_counter() - t0
 
     sf_per_s = batch * iters / dt
