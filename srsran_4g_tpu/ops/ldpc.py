@@ -215,27 +215,44 @@ def decode(
 # --- rate matching (TS 38.212 §5.4.2.1, simplified: no Qm interleaver) ------
 
 
-def rm_select(codeword: jnp.ndarray, bg: int, z: int, e: int, rv: int = 0
-              ) -> jnp.ndarray:
-    """Bit selection from the circular buffer (first 2Z columns punctured)."""
-    nfull = bg_params(bg)[2]
+@functools.lru_cache(maxsize=256)
+def _rm_indices(bg: int, z: int, e: int, rv: int, n_filler: int,
+                k_prime: int) -> np.ndarray:
+    """Circular-buffer indices into the (Nfull*Z,) codeword for E bits,
+    skipping the first 2Z punctured columns and the <NULL> filler range
+    [k_prime, K) (TS 38.212 §5.4.2.1)."""
+    kb, _, nfull = bg_params(bg)
     n = (nfull - 2) * z
     k0_frac = {1: (0, 17, 33, 56), 2: (0, 13, 25, 43)}[bg][rv]
     k0 = (k0_frac * n // ((66 if bg == 1 else 50) * z)) * z  # multiple of Z
-    buf = codeword[:, 2 * z:]
-    idx = (k0 + np.arange(e)) % n
-    return buf[:, jnp.asarray(idx)]
+    pos = np.arange(n)
+    src = pos + 2 * z  # index into the full codeword
+    if n_filler:
+        valid = ~((src >= k_prime) & (src < kb * z))
+    else:
+        valid = np.ones(n, bool)
+    ring = np.nonzero(valid[(k0 + pos) % n])[0]
+    sel = ((k0 + ring) % n)
+    reps = (e + sel.size - 1) // sel.size
+    return (np.tile(sel, reps)[:e] + 2 * z).astype(np.int64)
 
 
-def rm_collect(e_llr: jnp.ndarray, bg: int, z: int, rv: int = 0
-               ) -> jnp.ndarray:
-    """Soft-combine received LLRs back into the (Nfull*Z) buffer."""
+def rm_select(codeword: jnp.ndarray, bg: int, z: int, e: int, rv: int = 0,
+              n_filler: int = 0, k_prime: int = 0) -> jnp.ndarray:
+    """Bit selection from the circular buffer (first 2Z columns punctured,
+    filler <NULL> positions skipped)."""
+    idx = _rm_indices(bg, z, e, rv, n_filler, k_prime)
+    return codeword[:, jnp.asarray(idx)]
+
+
+def rm_collect(e_llr: jnp.ndarray, bg: int, z: int, rv: int = 0,
+               n_filler: int = 0, k_prime: int = 0,
+               softbuffer: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Soft-combine received LLRs back into the (Nfull*Z) buffer (HARQ)."""
     nfull = bg_params(bg)[2]
-    n = (nfull - 2) * z
     e = e_llr.shape[-1]
-    k0_frac = {1: (0, 17, 33, 56), 2: (0, 13, 25, 43)}[bg][rv]
-    k0 = (k0_frac * n // ((66 if bg == 1 else 50) * z)) * z
-    idx = (k0 + np.arange(e)) % n + 2 * z
+    idx = _rm_indices(bg, z, e, rv, n_filler, k_prime)
     b = e_llr.shape[0]
-    out = jnp.zeros((b, nfull * z), jnp.float32)
+    out = (jnp.zeros((b, nfull * z), jnp.float32) if softbuffer is None
+           else softbuffer.astype(jnp.float32))
     return out.at[:, jnp.asarray(idx)].add(e_llr.astype(jnp.float32))
