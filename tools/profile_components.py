@@ -17,11 +17,22 @@ bits = jnp.asarray(rng.integers(0, 2, size=(B, cfg.tbs)).astype(np.int8))
 tx = jax.jit(lambda b: pdsch.add_crs(cfg, pdsch.encode(cfg, b)))(bits)
 rx = jax.block_until_ready(awgn(jax.random.PRNGKey(1), tx, snr_to_noise_var(30.0)))
 
+def _sync(out):
+    # the remote-TPU tunnel's block_until_ready is unreliable; force a
+    # real device->host scalar transfer to fence each call
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves:
+        # index a single element on-device, then fetch the scalar: fences
+        # the computation without paying for a full-array transfer
+        s = leaf[(0,) * getattr(leaf, "ndim", 0)] if getattr(leaf, "ndim", 0) else leaf
+        float(jnp.real(s) if jnp.iscomplexobj(s) else s)
+    return out
+
 def timeit(name, fn, *args, iters=5):
-    out = jax.block_until_ready(fn(*args))
+    out = _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
+        out = _sync(fn(*args))
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:30s} {dt*1e3:8.2f} ms", file=sys.stderr)
     return out
