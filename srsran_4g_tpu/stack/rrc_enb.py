@@ -1,0 +1,233 @@
+"""eNB RRC: per-UE connection FSM, bearer setup, S1AP glue, SIB gen.
+
+Counterpart of `srsenb/src/stack/rrc/` (rrc_ue.cc per-UE FSM,
+rrc_bearer_cfg.cc bearer setup, rrc_cell_cfg.cc SIB generation) and the
+S1AP client side of `srsenb/src/stack/s1ap/s1ap.cc` (InitialUEMessage,
+NAS transport, InitialContextSetup handling).
+
+`tx_rrc(rnti, lcid, pdu)` sends toward the UE (via RLC/MAC/PHY or a
+test transport); `tx_s1ap(pdu)` sends toward the MME.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from . import rrc_msgs as R
+from . import s1ap_msgs as S
+from . import security
+from .pdcp import PdcpConfig, PdcpEntity
+
+SRB0_LCID = 0
+SRB1_LCID = 1
+
+
+@dataclass
+class EnbCellConfig:
+    nof_prb: int = 100
+    pci: int = 1
+    tac: int = 0x0001
+    cell_id: int = 0x01
+    mcc: int = 1
+    mnc: int = 1
+    enb_s1u_teid_base: int = 0x1000
+
+
+class UeCtx:
+    def __init__(self, rnti: int, enb_ue_s1ap_id: int) -> None:
+        self.rnti = rnti
+        self.enb_ue_s1ap_id = enb_ue_s1ap_id
+        self.mme_ue_s1ap_id = 0
+        self.state = "CONN_SETUP_SENT"
+        self.srb1 = PdcpEntity(PdcpConfig(is_control=True, bearer_id=1))
+        self.drbs: dict[int, PdcpEntity] = {}      # by lcid
+        self.k_enb: bytes = b""
+        self.k_rrc_int: Optional[bytes] = None
+        self.k_rrc_enc: Optional[bytes] = None
+        self.k_up_enc: Optional[bytes] = None
+        self.pending_erabs: list[S.ErabToSetup] = []
+        self.erab_teids: dict[int, int] = {}       # erab_id -> eNB DL teid
+        self.spgw_teids: dict[int, int] = {}       # erab_id -> SPGW UL teid
+
+
+class RrcEnb:
+    def __init__(self, cell: EnbCellConfig | None = None,
+                 tx_rrc: Callable[[int, int, bytes], None] | None = None,
+                 tx_s1ap: Callable[[bytes], None] | None = None) -> None:
+        self.cell = cell or EnbCellConfig()
+        self.tx_rrc = tx_rrc or (lambda rnti, lcid, pdu: None)
+        self.tx_s1ap = tx_s1ap or (lambda pdu: None)
+        self.ues: dict[int, UeCtx] = {}            # by rnti
+        self.by_enb_id: dict[int, UeCtx] = {}
+        self.next_rnti = 0x46
+        self.next_enb_ue_id = 1
+        self.next_teid = self.cell.enb_s1u_teid_base
+        self.events: list[str] = []
+
+    # -- system information (rrc_cell_cfg.cc) ------------------------------
+
+    def gen_mib(self, sfn: int = 0) -> R.Mib:
+        return R.Mib(dl_bandwidth=self.cell.nof_prb, sfn=sfn)
+
+    def gen_sib1(self) -> R.Sib1:
+        return R.Sib1(plmn_mcc=self.cell.mcc, plmn_mnc=self.cell.mnc,
+                      tac=self.cell.tac, cell_id=self.cell.cell_id)
+
+    def gen_sib2(self) -> R.Sib2:
+        return R.Sib2()
+
+    def s1_setup(self) -> None:
+        self.tx_s1ap(S.pack_pdu(S.PROC_S1_SETUP, S.PDU_INITIATING,
+                                S.S1SetupRequest(tac=self.cell.tac)))
+
+    # -- UL RRC ------------------------------------------------------------
+
+    def rx_ccch(self, tmp_rnti: int, pdu: bytes) -> int:
+        """CCCH from a just-RACHed UE; returns the allocated C-RNTI."""
+        msg = R.unpack_ul_ccch(pdu)
+        if isinstance(msg, R.RrcConnectionRequest):
+            rnti = self.next_rnti
+            self.next_rnti += 1
+            ue = UeCtx(rnti, self.next_enb_ue_id)
+            self.next_enb_ue_id += 1
+            self.ues[rnti] = ue
+            self.by_enb_id[ue.enb_ue_s1ap_id] = ue
+            self.events.append(f"conn_request rnti={rnti:#x}")
+            self.tx_rrc(rnti, SRB0_LCID,
+                        R.RrcConnectionSetup(rnti=rnti).pack())
+            return rnti
+        if isinstance(msg, R.RrcConnectionReestablishmentRequest):
+            # known UE with valid context -> reestablish; else reject
+            old = self.ues.get(msg.c_rnti)
+            self.events.append("reest_request")
+            # simplified: always reject to IDLE (reference needs HO ctx)
+            return 0
+        return 0
+
+    def rx_dcch(self, rnti: int, lcid: int, pdcp_pdu: bytes) -> None:
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        n0 = len(ue.srb1.delivered)
+        ue.srb1.write_pdu(pdcp_pdu, direction=0)
+        for sdu in ue.srb1.delivered[n0:]:
+            self._handle_dcch(ue, sdu)
+
+    def _tx_dcch(self, ue: UeCtx, rrc_pdu: bytes) -> None:
+        self.tx_rrc(ue.rnti, SRB1_LCID, ue.srb1.write_sdu(rrc_pdu, direction=1))
+
+    def _handle_dcch(self, ue: UeCtx, pdu: bytes) -> None:
+        msg = R.unpack_ul_dcch(pdu)
+        if isinstance(msg, R.RrcConnectionSetupComplete):
+            ue.state = "CONNECTED"
+            self.events.append("setup_complete")
+            self.tx_s1ap(S.pack_pdu(
+                S.PROC_INITIAL_UE_MESSAGE, S.PDU_INITIATING,
+                S.InitialUeMessage(enb_ue_s1ap_id=ue.enb_ue_s1ap_id,
+                                   nas_pdu=msg.nas_pdu,
+                                   tac=self.cell.tac,
+                                   cell_id=self.cell.cell_id)))
+        elif isinstance(msg, R.UlInformationTransfer):
+            self.tx_s1ap(S.pack_pdu(
+                S.PROC_UPLINK_NAS_TRANSPORT, S.PDU_INITIATING,
+                S.NasTransport(mme_ue_s1ap_id=ue.mme_ue_s1ap_id,
+                               enb_ue_s1ap_id=ue.enb_ue_s1ap_id,
+                               nas_pdu=msg.nas_pdu)))
+        elif isinstance(msg, R.SecurityModeCompleteRrc):
+            # ciphering active from the next message on both directions
+            ue.srb1.cfg.cipher_key = ue.k_rrc_enc
+            self.events.append("security_activated")
+            self._setup_bearers(ue)
+        elif isinstance(msg, R.RrcConnectionReconfigurationComplete):
+            self.events.append("reconf_complete")
+            if ue.state == "RECONF_SENT":
+                ue.state = "ACTIVE"
+                erabs = [S.ErabSetupItem(erab_id=eid, gtp_teid=teid)
+                         for eid, teid in ue.erab_teids.items()]
+                self.tx_s1ap(S.pack_pdu(
+                    S.PROC_INITIAL_CONTEXT_SETUP, S.PDU_SUCCESSFUL,
+                    S.InitialContextSetupResponse(
+                        mme_ue_s1ap_id=ue.mme_ue_s1ap_id,
+                        enb_ue_s1ap_id=ue.enb_ue_s1ap_id, erabs=erabs)))
+        elif isinstance(msg, R.MeasReport):
+            self.events.append(f"meas_report pci={msg.pci}")
+
+    # -- S1AP (MME -> eNB) -------------------------------------------------
+
+    def rx_s1ap(self, raw: bytes) -> None:
+        try:
+            proc, pdu_type, msg = S.unpack_pdu(raw)
+        except (ValueError, IndexError):
+            self.events.append("malformed_s1ap")
+            return
+        if proc == S.PROC_S1_SETUP and pdu_type == S.PDU_SUCCESSFUL:
+            self.events.append("s1_setup_ok")
+            return
+        if proc == S.PROC_DOWNLINK_NAS_TRANSPORT:
+            ue = self.by_enb_id.get(msg.enb_ue_s1ap_id)
+            if ue:
+                ue.mme_ue_s1ap_id = msg.mme_ue_s1ap_id
+                self._tx_dcch(ue, R.DlInformationTransfer(
+                    nas_pdu=msg.nas_pdu).pack())
+            return
+        if proc == S.PROC_INITIAL_CONTEXT_SETUP and \
+                pdu_type == S.PDU_INITIATING:
+            ue = self.by_enb_id.get(msg.enb_ue_s1ap_id)
+            if ue is None:
+                return
+            ue.mme_ue_s1ap_id = msg.mme_ue_s1ap_id
+            ue.k_enb = msg.security_key
+            ue.pending_erabs = msg.erabs
+            for e in msg.erabs:
+                ue.spgw_teids[e.erab_id] = e.gtp_teid
+            # RRC security mode first (rrc_ue.cc send_security_mode_command)
+            ue.k_rrc_int = security.k_rrc_up(ue.k_enb, 2, "rrc_int")
+            ue.k_rrc_enc = security.k_rrc_up(ue.k_enb, 2, "rrc_enc")
+            ue.k_up_enc = security.k_rrc_up(ue.k_enb, 2, "up_enc")
+            ue.srb1.cfg.integrity_key = ue.k_rrc_int
+            self._tx_dcch(ue, R.SecurityModeCommandRrc(
+                ciph_alg=2, integ_alg=2).pack())
+            self.events.append("smc_sent")
+            return
+        if proc == S.PROC_UE_CONTEXT_RELEASE:
+            ue = self.by_enb_id.get(msg.enb_ue_s1ap_id)
+            if ue:
+                self._tx_dcch(ue, R.RrcConnectionRelease().pack())
+                self.ues.pop(ue.rnti, None)
+                self.by_enb_id.pop(ue.enb_ue_s1ap_id, None)
+            return
+        self.events.append(f"unhandled_s1ap:{proc}")
+
+    def _setup_bearers(self, ue: UeCtx) -> None:
+        """After security: RRCConnectionReconfiguration with the pending
+        E-RABs as DRBs + piggybacked NAS (rrc_bearer_cfg.cc)."""
+        drbs = []
+        nas_pdu = b""
+        for i, e in enumerate(ue.pending_erabs):
+            drb_id = i + 1
+            lcid = 3 + i
+            drbs.append(R.DrbToAddMod(drb_id=drb_id, eps_bearer_id=e.erab_id,
+                                      lcid=lcid, rlc_mode="am"))
+            ue.drbs[lcid] = PdcpEntity(PdcpConfig(
+                is_control=False, bearer_id=drb_id + 2,
+                cipher_key=ue.k_up_enc))
+            ue.erab_teids[e.erab_id] = self.next_teid
+            self.next_teid += 1
+            if e.nas_pdu:
+                nas_pdu = e.nas_pdu
+        ue.state = "RECONF_SENT"
+        self._tx_dcch(ue, R.RrcConnectionReconfiguration(
+            drbs=drbs, nas_pdu=nas_pdu).pack())
+
+    # -- user plane helpers ------------------------------------------------
+
+    def drb_tx(self, rnti: int, lcid: int, sdu: bytes) -> bytes:
+        """Cipher a DL user-plane SDU for the UE (returns PDCP PDU)."""
+        return self.ues[rnti].drbs[lcid].write_sdu(sdu, direction=1)
+
+    def drb_rx(self, rnti: int, lcid: int, pdu: bytes) -> list[bytes]:
+        ent = self.ues[rnti].drbs[lcid]
+        n0 = len(ent.delivered)
+        ent.write_pdu(pdu, direction=0)
+        return ent.delivered[n0:]

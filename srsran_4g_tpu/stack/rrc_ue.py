@@ -1,0 +1,220 @@
+"""UE RRC: connection establishment, security, reconfiguration, RLF.
+
+Counterpart of `srsue/src/stack/rrc/rrc.cc` + the 13 proc_t procedures
+(`srsue/hdr/stack/rrc/rrc_procedures.h:38-342`): connection request /
+setup / reconfiguration, security mode, UL/DL information transfer,
+connection release, radio-link-failure handling (N310/N311 counters +
+T310/T311 timers, `rrc.cc:147,488-496`) with an RLF-injection hook
+(`rrc.cc:44,215` simulate_rlf), and reestablishment.
+
+Bearer plumbing: SRB0 rides CCCH (no PDCP); SRB1/SRB2 and DRBs are
+PDCP entities keyed after the security mode command (keys derived
+from K_eNB per 33.401).  `tx(lcid, pdu)` sends toward RLC/MAC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from . import rrc_msgs as R
+from . import security
+from .nas_ue import NasUe
+from .pdcp import PdcpConfig, PdcpEntity
+
+RRC_IDLE = "IDLE"
+RRC_CONNECTING = "CONNECTING"
+RRC_CONNECTED = "CONNECTED"
+RRC_REESTABLISHING = "REESTABLISHING"
+
+SRB0_LCID = 0
+SRB1_LCID = 1
+SRB2_LCID = 2
+
+
+@dataclass
+class RlfConfig:
+    n310: int = 1
+    n311: int = 1
+    t310_ms: int = 1000
+    t311_ms: int = 1000
+
+
+class RrcUe:
+    def __init__(self, nas: NasUe | None = None,
+                 tx: Callable[[int, bytes], None] | None = None,
+                 rlf_cfg: RlfConfig | None = None,
+                 phys_cell_id: int = 1) -> None:
+        self.nas = nas or NasUe()
+        self.tx = tx or (lambda lcid, pdu: None)
+        self.state = RRC_IDLE
+        self.c_rnti = 0
+        self.phys_cell_id = phys_cell_id
+        self.pdcp: dict[int, PdcpEntity] = {}
+        self.drb_lcids: list[int] = []
+        self.drb_pdcp: dict[int, PdcpEntity] = {}   # by lcid
+        self.k_rrc_int: Optional[bytes] = None
+        self.k_rrc_enc: Optional[bytes] = None
+        self.k_up_enc: Optional[bytes] = None
+        # RLF machinery
+        self.rlf = rlf_cfg or RlfConfig()
+        self.n310_count = 0
+        self.n311_count = 0
+        self.t310 = -1  # -1 = stopped
+        self.t311 = -1
+        self.t300 = -1
+        self.t300_ms = 1000
+        self.simulate_rlf = False  # console-style injection hook
+        self.events: list[str] = []
+
+    # -- connection establishment (connection_request_proc) ----------------
+
+    def connect(self, cause: int = 3) -> None:
+        """Send RRCConnectionRequest on SRB0/CCCH; starts T300."""
+        self.state = RRC_CONNECTING
+        self.t300 = 0
+        msg = R.RrcConnectionRequest(ue_identity=0xDEADBEEF42 & ((1 << 40) - 1),
+                                     establishment_cause=cause)
+        self.events.append("conn_request")
+        self.tx(SRB0_LCID, msg.pack())
+
+    # -- inbound -----------------------------------------------------------
+
+    def rx_ccch(self, pdu: bytes) -> None:
+        msg = R.unpack_dl_ccch(pdu)
+        if isinstance(msg, R.RrcConnectionSetup):
+            self.c_rnti = msg.rnti
+            self.t300 = -1
+            self.state = RRC_CONNECTED
+            self.pdcp[SRB1_LCID] = PdcpEntity(
+                PdcpConfig(is_control=True, bearer_id=SRB1_LCID))
+            self.events.append("conn_setup")
+            nas_pdu = self.nas.start_attach()
+            rsp = R.RrcConnectionSetupComplete(nas_pdu=nas_pdu)
+            self._tx_dcch(SRB1_LCID, rsp.pack())
+        elif isinstance(msg, R.RrcConnectionReject):
+            self.t300 = -1
+            self.state = RRC_IDLE
+            self.events.append("conn_reject")
+
+    def rx_dcch(self, lcid: int, pdcp_pdu: bytes) -> None:
+        ent = self.pdcp.get(lcid)
+        if ent is None:
+            return
+        n0 = len(ent.delivered)
+        ent.write_pdu(pdcp_pdu, direction=1)
+        for sdu in ent.delivered[n0:]:
+            self._handle_dcch(sdu)
+
+    def _tx_dcch(self, lcid: int, rrc_pdu: bytes) -> None:
+        ent = self.pdcp[lcid]
+        self.tx(lcid, ent.write_sdu(rrc_pdu, direction=0))
+
+    def _handle_dcch(self, pdu: bytes) -> None:
+        msg = R.unpack_dl_dcch(pdu)
+        if isinstance(msg, R.SecurityModeCommandRrc):
+            k_enb = self.nas.get_k_enb()
+            self.k_rrc_int = security.k_rrc_up(k_enb, msg.integ_alg, "rrc_int")
+            self.k_rrc_enc = security.k_rrc_up(k_enb, msg.ciph_alg, "rrc_enc")
+            self.k_up_enc = security.k_rrc_up(k_enb, msg.ciph_alg, "up_enc")
+            # SecurityModeComplete goes integrity-protected only; ciphering
+            # starts after this message (36.331 5.3.4.3)
+            rsp = R.SecurityModeCompleteRrc()
+            srb1 = self.pdcp[SRB1_LCID]
+            srb1.cfg.integrity_key = self.k_rrc_int
+            self._tx_dcch(SRB1_LCID, rsp.pack())
+            srb1.cfg.cipher_key = self.k_rrc_enc
+            self.events.append("security_activated")
+        elif isinstance(msg, R.RrcConnectionReconfiguration):
+            for drb in msg.drbs:
+                self.drb_lcids.append(drb.lcid)
+                self.drb_pdcp[drb.lcid] = PdcpEntity(PdcpConfig(
+                    is_control=False, bearer_id=drb.drb_id + 2,
+                    cipher_key=self.k_up_enc))
+                self.events.append(f"drb{drb.drb_id}_setup")
+            if msg.nas_pdu:
+                for ul in self.nas.rx(msg.nas_pdu):
+                    self.send_ul_info_transfer(ul)
+            self._tx_dcch(SRB1_LCID,
+                          R.RrcConnectionReconfigurationComplete().pack())
+        elif isinstance(msg, R.DlInformationTransfer):
+            for ul in self.nas.rx(msg.nas_pdu):
+                self.send_ul_info_transfer(ul)
+        elif isinstance(msg, R.RrcConnectionRelease):
+            self.state = RRC_IDLE
+            self.events.append("released")
+
+    def send_ul_info_transfer(self, nas_pdu: bytes) -> None:
+        self._tx_dcch(SRB1_LCID, R.UlInformationTransfer(nas_pdu=nas_pdu).pack())
+
+    def send_meas_report(self, rsrp_dbm: float, rsrq_db: float,
+                         pci: int) -> None:
+        """A3-style measurement report (rrc_meas.cc value mapping)."""
+        rsrp_idx = max(0, min(97, int(rsrp_dbm + 141)))
+        rsrq_idx = max(0, min(34, int(2 * (rsrq_db + 20))))
+        self._tx_dcch(SRB1_LCID, R.MeasReport(
+            rsrp=rsrp_idx, rsrq=rsrq_idx, pci=pci).pack())
+
+    # -- user plane --------------------------------------------------------
+
+    def write_drb_sdu(self, lcid: int, sdu: bytes) -> None:
+        ent = self.drb_pdcp[lcid]
+        self.tx(lcid, ent.write_sdu(sdu, direction=0))
+
+    def rx_drb_pdu(self, lcid: int, pdu: bytes) -> list[bytes]:
+        ent = self.drb_pdcp[lcid]
+        n0 = len(ent.delivered)
+        ent.write_pdu(pdu, direction=1)
+        return ent.delivered[n0:]
+
+    # -- radio link failure (rrc.cc:488-496) -------------------------------
+
+    def out_of_sync(self) -> None:
+        """PHY indicates out-of-sync; N310 consecutive -> start T310."""
+        if self.state != RRC_CONNECTED:
+            return
+        self.n310_count += 1
+        if self.n310_count >= self.rlf.n310 and self.t310 < 0:
+            self.t310 = 0
+            self.events.append("t310_start")
+
+    def in_sync(self) -> None:
+        if self.t310 >= 0:
+            self.n311_count += 1
+            if self.n311_count >= self.rlf.n311:
+                self.t310 = -1
+                self.n310_count = 0
+                self.n311_count = 0
+                self.events.append("t310_stop")
+
+    def tick(self, ms: int = 1) -> None:
+        if self.simulate_rlf:
+            self.simulate_rlf = False
+            self.events.append("rlf_injected")
+            self._radio_link_failure()
+        if self.t300 >= 0:
+            self.t300 += ms
+            if self.t300 > self.t300_ms:
+                self.t300 = -1
+                self.state = RRC_IDLE
+                self.events.append("t300_expiry")
+        if self.t310 >= 0:
+            self.t310 += ms
+            if self.t310 > self.rlf.t310_ms:
+                self.t310 = -1
+                self._radio_link_failure()
+        if self.t311 >= 0:
+            self.t311 += ms
+            if self.t311 > self.rlf.t311_ms:
+                self.t311 = -1
+                self.state = RRC_IDLE
+                self.events.append("t311_expiry_to_idle")
+
+    def _radio_link_failure(self) -> None:
+        """T310 expiry -> connection reestablishment (36.331 5.3.7)."""
+        self.events.append("rlf")
+        self.state = RRC_REESTABLISHING
+        self.t311 = 0
+        req = R.RrcConnectionReestablishmentRequest(
+            c_rnti=self.c_rnti, phys_cell_id=self.phys_cell_id, cause=2)
+        self.tx(SRB0_LCID, req.pack())

@@ -1,0 +1,277 @@
+"""S1AP message codecs (TS 36.413 subset) on the PER-style bit runtime.
+
+Counterpart of the reference's generated S1AP codec
+(`lib/src/asn1/s1ap.cc`, ~67 k LoC generated): typed PDUs with
+pack()/unpack() for the procedures driven by the E2E attach flow —
+S1 Setup, Initial UE Message, UL/DL NAS Transport, Initial Context
+Setup, UE Context Release — as used by `srsenb/src/stack/s1ap/s1ap.cc`
+and `srsepc/src/mme/s1ap.cc`.
+
+Each PDU is framed as [procedure-code 1B][pdu-type 1B][length 2B][ies]
+so it can ride any stream transport (the reference uses SCTP; this
+framework's transport layer uses the native TCP bridge or in-process
+queues — see stack/s1ap.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .asn1 import BitReader, BitWriter, pack_varlen_bytes, unpack_varlen_bytes
+
+# procedure codes (36.413 9.3.7)
+PROC_S1_SETUP = 17
+PROC_INITIAL_UE_MESSAGE = 12
+PROC_DOWNLINK_NAS_TRANSPORT = 11
+PROC_UPLINK_NAS_TRANSPORT = 13
+PROC_INITIAL_CONTEXT_SETUP = 9
+PROC_UE_CONTEXT_RELEASE = 23
+PROC_ERAB_SETUP = 5
+
+PDU_INITIATING = 0
+PDU_SUCCESSFUL = 1
+PDU_UNSUCCESSFUL = 2
+
+
+@dataclass
+class S1SetupRequest:
+    global_enb_id: int = 0x19B
+    enb_name: str = "srsenb-tpu"
+    tac: int = 0x0001
+    plmn: int = 0x00F110
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.global_enb_id, 28)
+        w.put(self.tac, 16)
+        w.put(self.plmn, 24)
+        pack_varlen_bytes(w, self.enb_name.encode())
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "S1SetupRequest":
+        r = BitReader(d)
+        gid = r.get(28)
+        tac = r.get(16)
+        plmn = r.get(24)
+        name = unpack_varlen_bytes(r).decode()
+        return cls(global_enb_id=gid, enb_name=name, tac=tac, plmn=plmn)
+
+
+@dataclass
+class S1SetupResponse:
+    mme_name: str = "srsmme-tpu"
+    mme_group: int = 0x0001
+    mme_code: int = 0x1A
+    rel_capacity: int = 255
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.mme_group, 16)
+        w.put(self.mme_code, 8)
+        w.put(self.rel_capacity, 8)
+        pack_varlen_bytes(w, self.mme_name.encode())
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "S1SetupResponse":
+        r = BitReader(d)
+        grp = r.get(16)
+        code = r.get(8)
+        cap = r.get(8)
+        name = unpack_varlen_bytes(r).decode()
+        return cls(mme_name=name, mme_group=grp, mme_code=code,
+                   rel_capacity=cap)
+
+
+@dataclass
+class InitialUeMessage:
+    enb_ue_s1ap_id: int = 0
+    nas_pdu: bytes = b""
+    tac: int = 0x0001
+    cell_id: int = 0x01
+    rrc_cause: int = 3  # mo-Data
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.enb_ue_s1ap_id, 24)
+        w.put(self.tac, 16)
+        w.put(self.cell_id, 28)
+        w.put(self.rrc_cause, 3)
+        pack_varlen_bytes(w, self.nas_pdu)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "InitialUeMessage":
+        r = BitReader(d)
+        eid = r.get(24)
+        tac = r.get(16)
+        cid = r.get(28)
+        cause = r.get(3)
+        nas = unpack_varlen_bytes(r)
+        return cls(enb_ue_s1ap_id=eid, nas_pdu=nas, tac=tac, cell_id=cid,
+                   rrc_cause=cause)
+
+
+@dataclass
+class NasTransport:
+    """UL or DL NAS transport (direction given by the procedure code)."""
+    mme_ue_s1ap_id: int = 0
+    enb_ue_s1ap_id: int = 0
+    nas_pdu: bytes = b""
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.mme_ue_s1ap_id, 32)
+        w.put(self.enb_ue_s1ap_id, 24)
+        pack_varlen_bytes(w, self.nas_pdu)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "NasTransport":
+        r = BitReader(d)
+        mid = r.get(32)
+        eid = r.get(24)
+        nas = unpack_varlen_bytes(r)
+        return cls(mme_ue_s1ap_id=mid, enb_ue_s1ap_id=eid, nas_pdu=nas)
+
+
+@dataclass
+class ErabToSetup:
+    erab_id: int = 5
+    qci: int = 9
+    gtp_teid: int = 0
+    transport_addr: bytes = b"\x7f\x00\x01\x01"  # SPGW S1-U IPv4
+    nas_pdu: bytes = b""
+
+
+@dataclass
+class InitialContextSetupRequest:
+    mme_ue_s1ap_id: int = 0
+    enb_ue_s1ap_id: int = 0
+    ue_ambr_dl: int = 100_000_000
+    ue_ambr_ul: int = 50_000_000
+    erabs: list[ErabToSetup] = field(default_factory=list)
+    security_key: bytes = b"\x00" * 32  # K_eNB
+    encryption_algs: int = 0xE0  # bitmask EEA0-2
+    integrity_algs: int = 0xE0
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.mme_ue_s1ap_id, 32)
+        w.put(self.enb_ue_s1ap_id, 24)
+        w.put(self.ue_ambr_dl, 40)
+        w.put(self.ue_ambr_ul, 40)
+        w.put(self.encryption_algs, 16)
+        w.put(self.integrity_algs, 16)
+        w.put_bytes(self.security_key)
+        w.put(len(self.erabs), 4)
+        for e in self.erabs:
+            w.put(e.erab_id, 4)
+            w.put(e.qci, 8)
+            w.put(e.gtp_teid, 32)
+            pack_varlen_bytes(w, e.transport_addr)
+            pack_varlen_bytes(w, e.nas_pdu)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "InitialContextSetupRequest":
+        r = BitReader(d)
+        out = cls(mme_ue_s1ap_id=r.get(32), enb_ue_s1ap_id=r.get(24),
+                  ue_ambr_dl=r.get(40), ue_ambr_ul=r.get(40),
+                  encryption_algs=r.get(16), integrity_algs=r.get(16),
+                  security_key=r.get_bytes(32))
+        n = r.get(4)
+        for _ in range(n):
+            out.erabs.append(ErabToSetup(
+                erab_id=r.get(4), qci=r.get(8), gtp_teid=r.get(32),
+                transport_addr=unpack_varlen_bytes(r),
+                nas_pdu=unpack_varlen_bytes(r)))
+        return out
+
+
+@dataclass
+class ErabSetupItem:
+    erab_id: int = 5
+    gtp_teid: int = 0
+    transport_addr: bytes = b"\x7f\x00\x01\x02"  # eNB S1-U IPv4
+
+
+@dataclass
+class InitialContextSetupResponse:
+    mme_ue_s1ap_id: int = 0
+    enb_ue_s1ap_id: int = 0
+    erabs: list[ErabSetupItem] = field(default_factory=list)
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.mme_ue_s1ap_id, 32)
+        w.put(self.enb_ue_s1ap_id, 24)
+        w.put(len(self.erabs), 4)
+        for e in self.erabs:
+            w.put(e.erab_id, 4)
+            w.put(e.gtp_teid, 32)
+            pack_varlen_bytes(w, e.transport_addr)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "InitialContextSetupResponse":
+        r = BitReader(d)
+        out = cls(mme_ue_s1ap_id=r.get(32), enb_ue_s1ap_id=r.get(24))
+        for _ in range(r.get(4)):
+            out.erabs.append(ErabSetupItem(
+                erab_id=r.get(4), gtp_teid=r.get(32),
+                transport_addr=unpack_varlen_bytes(r)))
+        return out
+
+
+@dataclass
+class UeContextRelease:
+    mme_ue_s1ap_id: int = 0
+    enb_ue_s1ap_id: int = 0
+    cause: int = 0
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.mme_ue_s1ap_id, 32)
+        w.put(self.enb_ue_s1ap_id, 24)
+        w.put(self.cause, 8)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "UeContextRelease":
+        r = BitReader(d)
+        return cls(mme_ue_s1ap_id=r.get(32), enb_ue_s1ap_id=r.get(24),
+                   cause=r.get(8))
+
+
+# --------------------------------------------------------------------------
+# PDU framing
+
+_IES_CODECS = {
+    (PROC_S1_SETUP, PDU_INITIATING): S1SetupRequest,
+    (PROC_S1_SETUP, PDU_SUCCESSFUL): S1SetupResponse,
+    (PROC_INITIAL_UE_MESSAGE, PDU_INITIATING): InitialUeMessage,
+    (PROC_DOWNLINK_NAS_TRANSPORT, PDU_INITIATING): NasTransport,
+    (PROC_UPLINK_NAS_TRANSPORT, PDU_INITIATING): NasTransport,
+    (PROC_INITIAL_CONTEXT_SETUP, PDU_INITIATING): InitialContextSetupRequest,
+    (PROC_INITIAL_CONTEXT_SETUP, PDU_SUCCESSFUL): InitialContextSetupResponse,
+    (PROC_UE_CONTEXT_RELEASE, PDU_INITIATING): UeContextRelease,
+}
+
+
+def pack_pdu(proc: int, pdu_type: int, msg) -> bytes:
+    ies = msg.pack_ies()
+    return bytes([proc, pdu_type]) + len(ies).to_bytes(2, "big") + ies
+
+
+def unpack_pdu(data: bytes) -> tuple[int, int, object]:
+    proc, pdu_type = data[0], data[1]
+    n = int.from_bytes(data[2:4], "big")
+    ies = data[4:4 + n]
+    if len(ies) != n:
+        raise ValueError("S1AP PDU truncated")
+    cls = _IES_CODECS.get((proc, pdu_type))
+    if cls is None:
+        raise ValueError(f"unknown S1AP (proc={proc}, type={pdu_type})")
+    return proc, pdu_type, cls.unpack_ies(ies)
