@@ -133,7 +133,9 @@ def detect(
     corr_t = jnp.fft.ifft(corr_f, n=nfft, axis=-1)
     power = jnp.abs(corr_t) ** 2  # (B, R, nfft)
     energy = jnp.mean(jnp.abs(y) ** 2, axis=-1)[..., None, None] + 1e-12
-    power = power * N_ZC / (energy * N_ZC / nfft) / nfft
+    # normalise so a perfectly matched flat-channel preamble peaks at 1.0:
+    # peak |IFFT|^2 = (N_ZC * a / nfft)^2 with per-bin energy a^2
+    power = power * (nfft / N_ZC) ** 2 / energy
 
     # A cyclic shift of +s (in ZC units) peaks at IFFT bin (N_zc − s)·scale;
     # a propagation delay of τ ZC units moves the peak *up* by τ·scale.

@@ -85,6 +85,9 @@ class RlcTm:
     def write_sdu(self, sdu: bytes) -> None:
         self.q.append(sdu)
 
+    def has_data(self) -> bool:
+        return bool(self.q)
+
     def read_pdu(self, nof_bytes: int) -> bytes | None:
         if self.q and len(self.q[0]) <= nof_bytes:
             return self.q.popleft()
