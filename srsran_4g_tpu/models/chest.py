@@ -30,6 +30,9 @@ class ChestConfig:
     cell: G.CellConfig
     smooth_len: int = 3  # triangular smoothing window over pilots (0 = off)
     interpolate_time: bool = True  # False = average pilot symbols (static ch.)
+    wiener: bool = False  # MMSE (Wiener) freq filter instead of lin. interp
+    wiener_delay_spread_us: float = 1.0  # assumed RMS delay spread
+    wiener_snr_db: float = 20.0          # design SNR of the filter
 
 
 @functools.lru_cache(maxsize=64)
@@ -81,6 +84,33 @@ def _smooth_kernel(n: int) -> np.ndarray:
     return tri / tri.sum()
 
 
+@functools.lru_cache(maxsize=64)
+def _wiener_matrix(cell: G.CellConfig, k0: int, delay_spread_us: float,
+                   snr_db: float) -> np.ndarray:
+    """(n_pilot_sc, nre) complex MMSE interpolation matrix.
+
+    Counterpart of the reference's matrix Wiener DL filter
+    (`lib/src/phy/ch_estimation/wiener_dl.c`, hooked at chest_dl.c:144):
+    W = R_dp (R_pp + sigma^2 I)^{-1} with an exponential-PDP frequency
+    correlation r(dk) = 1 / (1 + j 2*pi*tau_rms*df*dk).  Precomputed at
+    trace time -> one MXU matmul per subframe at run time.
+    """
+    n_p = 2 * cell.nof_prb
+    pil_k = k0 + 6 * np.arange(n_p)
+    all_k = np.arange(cell.nre)
+    df = 15e3
+    tau = delay_spread_us * 1e-6
+
+    def corr(dk):
+        return 1.0 / (1.0 + 2j * np.pi * tau * df * dk)
+
+    r_pp = corr(pil_k[:, None] - pil_k[None, :])
+    r_dp = corr(all_k[:, None] - pil_k[None, :])
+    sigma2 = 10.0 ** (-snr_db / 10.0)
+    w = r_dp @ np.linalg.inv(r_pp + sigma2 * np.eye(n_p))
+    return w.T.astype(np.complex64)  # (n_p, nre)
+
+
 def estimate(
     cfg: ChestConfig, rx_grid: jnp.ndarray, subframe: int, port: int = 0
 ) -> dict[str, jnp.ndarray]:
@@ -130,12 +160,21 @@ def estimate(
 
     # interpolate: pilots (S, P) → (nsymb, nre) via two matmuls; the comb
     # offset k0 differs per CRS symbol, so stack per-symbol weight matrices
-    wf = jnp.asarray(
-        np.stack([
-            _freq_interp_matrix(cell, int(scs_np[s, 0] % 6))
-            for s in range(len(syms_np))
-        ])
-    )  # (S, P, nre)
+    if cfg.wiener:
+        wf = jnp.asarray(
+            np.stack([
+                _wiener_matrix(cell, int(scs_np[s, 0] % 6),
+                               cfg.wiener_delay_spread_us, cfg.wiener_snr_db)
+                for s in range(len(syms_np))
+            ])
+        )  # (S, P, nre) complex
+    else:
+        wf = jnp.asarray(
+            np.stack([
+                _freq_interp_matrix(cell, int(scs_np[s, 0] % 6))
+                for s in range(len(syms_np))
+            ])
+        )  # (S, P, nre)
     h_freq = jnp.einsum("...sp,spk->...sk", h_sm, wf.astype(jnp.complex64))
     wt = jnp.asarray(
         _time_interp_matrix(tuple(int(s) for s in syms_np), cell.nsymb,
