@@ -368,3 +368,15 @@ class Mme:
 
     def attached_ues(self) -> list[str]:
         return [u.imsi for u in self.ues.values() if u.state == "ATTACHED"]
+
+    def page_ue(self, imsi: str) -> list[bytes]:
+        """DL data for an idle UE -> S1AP Paging to the eNB(s)
+        (mme s1ap_paging.cc)."""
+        for mme_id, ue in self.ues.items():
+            if ue.imsi == imsi:
+                self.events.append(f"paging {imsi}")
+                mtmsi = self.next_mtmsi - 1  # last assigned GUTI
+                return [S.pack_pdu(S.PROC_PAGING, S.PDU_INITIATING,
+                                   S.S1Paging(ue_index=mme_id % 1024,
+                                              mtmsi=mtmsi))]
+        return []

@@ -63,6 +63,9 @@ class RrcEnb:
         self.next_rnti = 0x46
         self.next_enb_ue_id = 1
         self.next_teid = self.cell.enb_s1u_teid_base
+        self.neighbor_pcis: set[int] = set()
+        self.a3_offset_rsrp: int = 60  # report threshold index (36.133)
+        self.pcch_tx = lambda pdu: None
         self.events: list[str] = []
 
     # -- system information (rrc_cell_cfg.cc) ------------------------------
@@ -152,6 +155,7 @@ class RrcEnb:
                         enb_ue_s1ap_id=ue.enb_ue_s1ap_id, erabs=erabs)))
         elif isinstance(msg, R.MeasReport):
             self.events.append(f"meas_report pci={msg.pci}")
+            self._handle_measurement(ue, msg)
 
     # -- S1AP (MME -> eNB) -------------------------------------------------
 
@@ -190,6 +194,9 @@ class RrcEnb:
                 ciph_alg=2, integ_alg=2).pack())
             self.events.append("smc_sent")
             return
+        if proc == S.PROC_PAGING:
+            self.pcch_tx(self.page(msg.mtmsi))
+            return
         if proc == S.PROC_UE_CONTEXT_RELEASE:
             ue = self.by_enb_id.get(msg.enb_ue_s1ap_id)
             if ue:
@@ -219,6 +226,36 @@ class RrcEnb:
         ue.state = "RECONF_SENT"
         self._tx_dcch(ue, R.RrcConnectionReconfiguration(
             drbs=drbs, nas_pdu=nas_pdu).pack())
+
+    # -- mobility (rrc_mobility.cc) ----------------------------------------
+
+    def _handle_measurement(self, ue: UeCtx, rep: "R.MeasReport") -> None:
+        """A3-style decision: neighbor above serving + offset -> intra-eNB
+        handover via reconfiguration-with-mobilityControlInfo."""
+        if rep.pci == self.cell.pci or rep.pci not in self.neighbor_pcis:
+            return
+        if rep.rsrp < self.a3_offset_rsrp:
+            return
+        old_rnti = ue.rnti
+        new_rnti = self.next_rnti
+        self.next_rnti += 1
+        self._tx_dcch(ue, R.RrcConnectionReconfiguration(
+            mobility=R.MobilityControlInfo(
+                target_pci=rep.pci, new_c_rnti=new_rnti)).pack())
+        # re-key the context under the new C-RNTI (intra-eNB: same ctx)
+        self.ues[new_rnti] = ue
+        del self.ues[old_rnti]
+        ue.rnti = new_rnti
+        self.events.append(f"ho_cmd {old_rnti:#x}->{new_rnti:#x} "
+                           f"pci={rep.pci}")
+
+    # -- paging (rrc_paging.cc) --------------------------------------------
+
+    def page(self, mtmsi: int) -> bytes:
+        """Build the PCCH payload for one paging record; the PHY layer
+        broadcasts it on the paging occasions."""
+        self.events.append(f"paging {mtmsi:#x}")
+        return R.Paging(tmsis=[mtmsi]).pack()
 
     # -- user plane helpers ------------------------------------------------
 

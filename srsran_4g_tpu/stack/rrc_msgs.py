@@ -314,10 +314,19 @@ class SecurityModeCompleteRrc:
 
 
 @dataclass
+class MobilityControlInfo:
+    """Handover command payload (36.331 6.3.4 mobilityControlInfo)."""
+    target_pci: int = 0
+    new_c_rnti: int = 0
+    t304_ms: int = 1000
+
+
+@dataclass
 class RrcConnectionReconfiguration:
     drbs: list[DrbToAddMod] = field(default_factory=list)
     nas_pdu: bytes = b""
     meas_config: bool = False
+    mobility: MobilityControlInfo | None = None
 
     def pack(self) -> bytes:
         w = BitWriter()
@@ -331,6 +340,11 @@ class RrcConnectionReconfiguration:
             w.put_bool(d.rlc_mode == "am")
         _pack_dedicated(w, self.nas_pdu)
         w.put_bool(self.meas_config)
+        w.put_bool(self.mobility is not None)
+        if self.mobility is not None:
+            w.put(self.mobility.target_pci, 9)
+            w.put(self.mobility.new_c_rnti, 16)
+            pack_constrained_int(w, self.mobility.t304_ms, 0, 8000)
         return w.to_bytes()
 
 
@@ -410,6 +424,32 @@ def unpack_ul_dcch(data: bytes):
     raise ValueError(f"unknown UL-DCCH type {t}")
 
 
+# --------------------------------------------------------------------------
+# PCCH (paging, 36.331 6.2.2)
+
+
+@dataclass
+class Paging:
+    """PCCH Paging with up to 16 records (S-TMSI identities)."""
+    tmsis: list[int] = field(default_factory=list)
+    system_info_modification: bool = False
+
+    def pack(self) -> bytes:
+        w = BitWriter()
+        pack_constrained_int(w, len(self.tmsis), 0, 16)
+        for t in self.tmsis:
+            w.put(t, 32)
+        w.put_bool(self.system_info_modification)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack(cls, data: bytes) -> "Paging":
+        r = BitReader(data)
+        n = unpack_constrained_int(r, 0, 16)
+        tmsis = [r.get(32) for _ in range(n)]
+        return cls(tmsis=tmsis, system_info_modification=r.get_bool())
+
+
 def unpack_dl_dcch(data: bytes):
     r = BitReader(data)
     t = r.get(3)
@@ -429,8 +469,13 @@ def unpack_dl_dcch(data: bytes):
                 rlc_mode="am" if r.get_bool() else "um"))
         nas = _unpack_dedicated(r)
         meas = r.get_bool()
+        mob = None
+        if r.get_bool():
+            mob = MobilityControlInfo(
+                target_pci=r.get(9), new_c_rnti=r.get(16),
+                t304_ms=unpack_constrained_int(r, 0, 8000))
         return RrcConnectionReconfiguration(drbs=drbs, nas_pdu=nas,
-                                            meas_config=meas)
+                                            meas_config=meas, mobility=mob)
     if t == DL_DCCH_DL_INFO_TRANSFER:
         return DlInformationTransfer(nas_pdu=unpack_varlen_bytes(r))
     if t == DL_DCCH_CONN_RELEASE:

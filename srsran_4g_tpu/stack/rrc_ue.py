@@ -126,6 +126,13 @@ class RrcUe:
             srb1.cfg.cipher_key = self.k_rrc_enc
             self.events.append("security_activated")
         elif isinstance(msg, R.RrcConnectionReconfiguration):
+            if msg.mobility is not None:
+                # handover command (36.331 5.3.5.4): retune to the target
+                # cell, apply the new C-RNTI, T304 guards the RA there
+                self.phys_cell_id = msg.mobility.target_pci
+                self.c_rnti = msg.mobility.new_c_rnti
+                self.events.append(
+                    f"ho_to_pci{msg.mobility.target_pci}")
             for drb in msg.drbs:
                 self.drb_lcids.append(drb.lcid)
                 self.drb_pdcp[drb.lcid] = PdcpEntity(PdcpConfig(
@@ -143,6 +150,16 @@ class RrcUe:
         elif isinstance(msg, R.RrcConnectionRelease):
             self.state = RRC_IDLE
             self.events.append("released")
+
+    def rx_pcch(self, pdu: bytes) -> bool:
+        """Paging reception (36.331 5.3.2): True if we were paged."""
+        page = R.Paging.unpack(pdu)
+        if self.nas.guti_mtmsi and self.nas.guti_mtmsi in page.tmsis:
+            self.events.append("paged")
+            return True
+        if page.system_info_modification:
+            self.events.append("si_modification")
+        return False
 
     def send_ul_info_transfer(self, nas_pdu: bytes) -> None:
         self._tx_dcch(SRB1_LCID, R.UlInformationTransfer(nas_pdu=nas_pdu).pack())

@@ -27,6 +27,9 @@ PROC_UPLINK_NAS_TRANSPORT = 13
 PROC_INITIAL_CONTEXT_SETUP = 9
 PROC_UE_CONTEXT_RELEASE = 23
 PROC_ERAB_SETUP = 5
+PROC_PAGING = 10
+PROC_HANDOVER_REQUIRED = 0
+PROC_HANDOVER_REQUEST = 1
 
 PDU_INITIATING = 0
 PDU_SUCCESSFUL = 1
@@ -226,6 +229,26 @@ class InitialContextSetupResponse:
 
 
 @dataclass
+class S1Paging:
+    """MME -> eNB paging (36.413 8.5): UE identity index + S-TMSI."""
+    ue_index: int = 0
+    mtmsi: int = 0
+    tac: int = 0x0001
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.ue_index, 10)
+        w.put(self.mtmsi, 32)
+        w.put(self.tac, 16)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "S1Paging":
+        r = BitReader(d)
+        return cls(ue_index=r.get(10), mtmsi=r.get(32), tac=r.get(16))
+
+
+@dataclass
 class UeContextRelease:
     mme_ue_s1ap_id: int = 0
     enb_ue_s1ap_id: int = 0
@@ -257,6 +280,7 @@ _IES_CODECS = {
     (PROC_INITIAL_CONTEXT_SETUP, PDU_INITIATING): InitialContextSetupRequest,
     (PROC_INITIAL_CONTEXT_SETUP, PDU_SUCCESSFUL): InitialContextSetupResponse,
     (PROC_UE_CONTEXT_RELEASE, PDU_INITIATING): UeContextRelease,
+    (PROC_PAGING, PDU_INITIATING): S1Paging,
 }
 
 

@@ -67,6 +67,104 @@ class DlGrant:
     is_retx: bool
 
 
+@dataclass
+class UlGrant:
+    rnti: int
+    harq_pid: int
+    mcs: int
+    tbs: int
+    prb_start: int
+    prb_len: int
+    rv: int
+    ndi: int
+    is_retx: bool
+
+
+class UlScheduler:
+    """UL counterpart (sched_ue UL grants + ul_crc_info ARQ); the grant
+    for TTI n is transmitted in n+4 (FDD_HARQ_DELAY)."""
+
+    def __init__(self, nof_prb: int, policy: str = "rr") -> None:
+        self.nof_prb = nof_prb
+        self.policy = policy
+        self.ues: dict[int, UeCtx] = {}
+
+    def ue_cfg(self, rnti: int) -> None:
+        self.ues[rnti] = UeCtx(rnti=rnti)
+
+    def ue_rem(self, rnti: int) -> None:
+        self.ues.pop(rnti, None)
+
+    def ul_bsr(self, rnti: int, nof_bytes: int) -> None:
+        if rnti in self.ues:
+            self.ues[rnti].buffer_bytes = nof_bytes
+
+    def ul_cqi_info(self, rnti: int, cqi: int) -> None:
+        if rnti in self.ues:
+            self.ues[rnti].cqi = max(1, min(15, cqi))
+
+    def ul_crc_info(self, rnti: int, pid: int, ok: bool) -> None:
+        """PUSCH decode result (mac.cc crc_info:308) -> UL ARQ."""
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        h = ue.harq[pid % N_HARQ]
+        if ok:
+            h.active = False
+        else:
+            h.n_retx += 1
+            if h.n_retx >= MAX_RETX:
+                h.active = False
+            else:
+                ue.pending_retx.append(pid % N_HARQ)
+
+    def get_ul_sched(self, tti: int) -> list[UlGrant]:
+        grants: list[UlGrant] = []
+        # PUCCH guard PRBs at both band edges (sched_grid.cc)
+        lo, hi = 1, self.nof_prb - 1
+        # 1) retransmissions (non-adaptive: same allocation size)
+        for ue in self.ues.values():
+            while ue.pending_retx and lo < hi:
+                pid = ue.pending_retx.pop(0)
+                h = ue.harq[pid]
+                n = max(1, len(h.prb_mask))
+                if n > hi - lo:
+                    ue.pending_retx.insert(0, pid)
+                    break
+                grants.append(UlGrant(
+                    rnti=ue.rnti, harq_pid=pid, mcs=h.mcs, tbs=h.tbs,
+                    prb_start=lo, prb_len=n, rv=_RV_SEQ[h.n_retx % 4],
+                    ndi=h.ndi, is_retx=True))
+                h.prb_mask = tuple(range(lo, lo + n))
+                lo += n
+        # 2) new transmissions (RR in time domain)
+        cand = [u for u in self.ues.values()
+                if u.buffer_bytes > 0 and u.free_harq() is not None]
+        cand.sort(key=lambda u: (tti + u.rnti) % max(len(self.ues), 1))
+        for ue in cand:
+            if lo >= hi:
+                break
+            mcs = min(_CQI_TO_MCS[ue.cqi], 24)
+            want = ue.buffer_bytes * 8 + 32
+            n = hi - lo
+            for k in range(1, hi - lo + 1):
+                if ra.tbs_from_itbs(ra.ul_mcs_to_itbs(mcs), k) >= want:
+                    n = k
+                    break
+            tbs = ra.tbs_from_itbs(ra.ul_mcs_to_itbs(mcs), n)
+            pid = ue.free_harq()
+            h = ue.harq[pid]
+            h.active, h.tbs, h.mcs = True, tbs, mcs
+            h.prb_mask = tuple(range(lo, lo + n))
+            h.n_retx, h.ndi = 0, h.ndi ^ 1
+            grants.append(UlGrant(
+                rnti=ue.rnti, harq_pid=pid, mcs=mcs, tbs=tbs,
+                prb_start=lo, prb_len=n, rv=0, ndi=h.ndi, is_retx=False))
+            lo += n
+            ue.buffer_bytes = max(0, ue.buffer_bytes - tbs // 8)
+        return grants
+
+
 class DlScheduler:
     """Per-carrier DL scheduler (sched.cc + sched_grid.cc equivalents)."""
 
