@@ -34,7 +34,9 @@ def main() -> None:
     )
     import os
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # batch sweep on v5e: 32→787, 64→1700, 128→2081, 256→1846 sf/s;
+    # 128 amortises dispatch/tunnel latency without spilling
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     n_iter = int(os.environ.get("BENCH_TURBO_ITERS", "4"))
     iters = int(os.environ.get("BENCH_REPS", "10"))
 
