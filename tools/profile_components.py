@@ -19,8 +19,11 @@ B = int(os.environ.get("BENCH_BATCH", "32"))
 
 rng = np.random.default_rng(0)
 bits = jnp.asarray(rng.integers(0, 2, size=(B, cfg.tbs)).astype(np.int8))
-tx = jax.jit(lambda b: pdsch.add_crs(cfg, pdsch.encode(cfg, b)))(bits)
-rx = awgn(jax.random.PRNGKey(1), tx, snr_to_noise_var(30.0))
+# produce rx entirely inside one jit: eager-op outputs on the axon
+# tunnel are not reliably consumable by later jits/transfers
+rx = jax.jit(lambda b, k: awgn(
+    k, pdsch.add_crs(cfg, pdsch.encode(cfg, b)),
+    snr_to_noise_var(30.0)))(bits, jax.random.PRNGKey(1))
 
 
 def _scalarize(x):
