@@ -101,10 +101,24 @@ class RrcEnb:
                         R.RrcConnectionSetup(rnti=rnti).pack())
             return rnti
         if isinstance(msg, R.RrcConnectionReestablishmentRequest):
-            # known UE with valid context -> reestablish; else reject
+            # 36.331 5.3.7: accept when the UE context (C-RNTI at this
+            # cell) is known and security was activated; else reject
             old = self.ues.get(msg.c_rnti)
             self.events.append("reest_request")
-            # simplified: always reject to IDLE (reference needs HO ctx)
+            if old is not None and old.k_rrc_int is not None \
+                    and msg.phys_cell_id == self.cell.pci:
+                rnti = self.next_rnti
+                self.next_rnti += 1
+                self.ues[rnti] = old
+                del self.ues[msg.c_rnti]
+                old.rnti = rnti
+                self.events.append(f"reest_accept {msg.c_rnti:#x}->"
+                                   f"{rnti:#x}")
+                self.tx_rrc(rnti, SRB0_LCID,
+                            R.RrcConnectionReestablishment(rnti=rnti).pack())
+                return rnti
+            self.tx_rrc(tmp_rnti, SRB0_LCID,
+                        R.RrcConnectionReestablishmentReject().pack())
             return 0
         return 0
 

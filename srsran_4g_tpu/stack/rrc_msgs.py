@@ -253,6 +253,27 @@ class RrcConnectionReject:
         return w.to_bytes()
 
 
+@dataclass
+class RrcConnectionReestablishment:
+    rnti: int = 0
+    next_hop_chaining_count: int = 0
+
+    def pack(self) -> bytes:
+        w = BitWriter()
+        w.put(DL_CCCH_REEST, 2)
+        w.put(self.rnti, 16)
+        pack_constrained_int(w, self.next_hop_chaining_count, 0, 7)
+        return w.to_bytes()
+
+
+@dataclass
+class RrcConnectionReestablishmentReject:
+    def pack(self) -> bytes:
+        w = BitWriter()
+        w.put(DL_CCCH_REEST_REJECT, 2)
+        return w.to_bytes()
+
+
 def unpack_dl_ccch(data: bytes):
     r = BitReader(data)
     t = r.get(2)
@@ -262,6 +283,12 @@ def unpack_dl_ccch(data: bytes):
         return RrcConnectionSetup(rnti=rnti, srb1=SrbToAddMod(srb_id=srb))
     if t == DL_CCCH_CONN_REJECT:
         return RrcConnectionReject(wait_time_s=unpack_constrained_int(r, 1, 16))
+    if t == DL_CCCH_REEST:
+        return RrcConnectionReestablishment(
+            rnti=r.get(16),
+            next_hop_chaining_count=unpack_constrained_int(r, 0, 7))
+    if t == DL_CCCH_REEST_REJECT:
+        return RrcConnectionReestablishmentReject()
     raise ValueError(f"unknown DL-CCCH type {t}")
 
 

@@ -82,6 +82,20 @@ class RrcUe:
 
     def rx_ccch(self, pdu: bytes) -> None:
         msg = R.unpack_dl_ccch(pdu)
+        if isinstance(msg, R.RrcConnectionReestablishment):
+            # 36.331 5.3.7.5: back to CONNECTED with the existing keys;
+            # SRB1 PDCP is re-established (COUNTs continue in this model)
+            self.c_rnti = msg.rnti
+            self.state = RRC_CONNECTED
+            self.t311 = -1
+            self.n310_count = 0
+            self.events.append("reestablished")
+            return
+        if isinstance(msg, R.RrcConnectionReestablishmentReject):
+            self.state = RRC_IDLE
+            self.t311 = -1
+            self.events.append("reest_reject_to_idle")
+            return
         if isinstance(msg, R.RrcConnectionSetup):
             self.c_rnti = msg.rnti
             self.t300 = -1

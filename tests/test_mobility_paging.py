@@ -119,3 +119,37 @@ def test_gtpc_codec_roundtrips():
     assert back.enb_teid == 0x1000 and back.spgw_teid == 42
     ds = gtpc.DeleteSessionRequest(spgw_teid=42, seq=9)
     assert gtpc.unpack(ds.pack()).spgw_teid == 42
+
+
+def test_rlf_reestablishment_accepted():
+    """After RLF, a known UE with active security is reestablished
+    (36.331 5.3.7) instead of dropping to IDLE."""
+    ue, enb, mme, pump = _wire()
+    enb.s1_setup()
+    ue.connect()
+    pump()
+    ue.phys_cell_id = enb.cell.pci  # camped on this cell
+    ue.out_of_sync()
+    for _ in range(ue.rlf.t310_ms + 2):
+        ue.tick(1)
+    assert ue.state == "REESTABLISHING"
+    pump()  # reest request -> eNB accept -> UE back to CONNECTED
+    assert ue.state == "CONNECTED"
+    assert "reestablished" in ue.events
+    assert any(e.startswith("reest_accept") for e in enb.events)
+    # context moved to the new rnti
+    assert ue.c_rnti in enb.ues
+
+
+def test_reestablishment_unknown_ue_rejected():
+    ue, enb, mme, pump = _wire()
+    enb.s1_setup()
+    ue.connect()
+    pump()
+    from srsran_4g_tpu.stack import rrc_msgs as R
+    pdus = []
+    enb.tx_rrc = lambda rnti, lcid, pdu: pdus.append((rnti, lcid, pdu))
+    enb.rx_ccch(0, R.RrcConnectionReestablishmentRequest(
+        c_rnti=0x9999, phys_cell_id=enb.cell.pci).pack())
+    assert isinstance(R.unpack_dl_ccch(pdus[-1][2]),
+                      R.RrcConnectionReestablishmentReject)
