@@ -182,3 +182,86 @@ def load_config(
 
 def to_dict(cfg: Config) -> dict:
     return dataclasses.asdict(cfg)
+
+
+# --------------------------------------------------------------------------
+# Structured eNB configs: rr.conf / sib.conf (libconfig++ subset)
+# Counterpart of srsenb/src/parser.cc + enb_cfg_parser.cc.
+
+
+@dataclass
+class RrCellConfig:
+    cell_id: int = 0x01
+    pci: int = 1
+    dl_earfcn: int = 3350
+    tac: int = 0x0001
+    root_seq_idx: int = 128
+    scell_list: list = field(default_factory=list)
+
+
+def _libconfig_parse(text: str):
+    """Parse a libconfig-subset: groups {..}, lists (..), key = value;"""
+    import re
+
+    text = re.sub(r"//[^\n]*|#[^\n]*|/\*.*?\*/", "", text, flags=re.S)
+    toks = re.findall(r"[{}()=;,]|\"[^\"]*\"|[^\s{}()=;,]+", text)
+    pos = 0
+
+    def parse_value():
+        nonlocal pos
+        t = toks[pos]
+        if t == "{":
+            pos += 1
+            out = {}
+            while toks[pos] != "}":
+                key = toks[pos]
+                assert toks[pos + 1] == "=", f"expected = after {key}"
+                pos += 2
+                out[key] = parse_value()
+                while pos < len(toks) and toks[pos] in (";", ","):
+                    pos += 1
+            pos += 1
+            return out
+        if t == "(":
+            pos += 1
+            out = []
+            while toks[pos] != ")":
+                out.append(parse_value())
+                while pos < len(toks) and toks[pos] == ",":
+                    pos += 1
+            pos += 1
+            return out
+        pos += 1
+        if t.startswith('"'):
+            return t.strip('"')
+        try:
+            return int(t, 0)
+        except ValueError:
+            try:
+                return float(t)
+            except ValueError:
+                return t
+
+    out = {}
+    while pos < len(toks):
+        key = toks[pos]
+        assert toks[pos + 1] == "=", f"expected = after {key}"
+        pos += 2
+        out[key] = parse_value()
+        while pos < len(toks) and toks[pos] in (";", ","):
+            pos += 1
+    return out
+
+
+def load_rr_conf(path: str) -> list[RrCellConfig]:
+    """Parse an rr.conf cell list (enb_cfg_parser.cc cell_list)."""
+    with open(path) as f:
+        tree = _libconfig_parse(f.read())
+    cells = []
+    for c in tree.get("cell_list", []):
+        cell = RrCellConfig()
+        for k, v in c.items():
+            if hasattr(cell, k):
+                setattr(cell, k, v)
+        cells.append(cell)
+    return cells

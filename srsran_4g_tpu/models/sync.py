@@ -190,3 +190,47 @@ def sss_detect(
     )
     best = jnp.argmax(corr, axis=-1)
     return dict(n_id_1=best // 2, phase=best % 2, corr=corr)
+
+
+# --- fine frequency + SFO ---------------------------------------------------
+
+
+def cedron_freq_estimate(x: jnp.ndarray) -> jnp.ndarray:
+    """Cedron Dawg's exact 3-bin frequency estimator on the FFT peak
+    (counterpart of `lib/src/phy/ch_estimation/cedron_freq_estimator.c`).
+
+    x: (..., N) complex time-domain tone (+noise).  Returns the frequency
+    in normalised cycles/sample (-0.5..0.5), resolved far below the bin
+    spacing.
+    """
+    n = x.shape[-1]
+    X = jnp.fft.fft(x, axis=-1)
+    k = jnp.argmax(jnp.abs(X), axis=-1)
+
+    def grab(off):
+        return jnp.take_along_axis(X, ((k + off) % n)[..., None],
+                                   axis=-1)[..., 0]
+
+    z1, z2, z3 = grab(-1), grab(0), grab(1)
+    # Cedron: f = k + real( (z1 - z3) / (2 z2 - z1 - z3) ) (parabolic-exact
+    # for a complex tone in white noise)
+    delta = jnp.real((z1 - z3) / (2.0 * z2 - z1 - z3 + 1e-12))
+    freq = (k.astype(jnp.float32) + delta) / n
+    return jnp.where(freq > 0.5, freq - 1.0, freq)
+
+
+def sfo_estimate(timing_offsets: jnp.ndarray, frame_period_s: float = 0.01
+                 ) -> jnp.ndarray:
+    """Sample-frequency-offset from the drift of per-frame timing offsets
+    (sfo.c srsran_sfo_estimate): least-squares slope of offset-vs-time,
+    returned in samples/second.
+
+    timing_offsets: (..., T) successive PSS timing offsets in samples.
+    """
+    t = timing_offsets.shape[-1]
+    x = jnp.arange(t, dtype=jnp.float32) * frame_period_s
+    xc = x - x.mean()
+    y = timing_offsets.astype(jnp.float32)
+    yc = y - y.mean(axis=-1, keepdims=True)
+    slope = jnp.sum(xc * yc, axis=-1) / jnp.sum(xc * xc)
+    return slope  # samples per second

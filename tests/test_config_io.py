@@ -112,3 +112,29 @@ def test_metrics_hub(tmp_path):
     hub.poll_once()
     assert rows[0]["phy"]["n"] == 1 and rows[1]["phy"]["n"] == 2
     assert "phy.bler" in open(csv_path).read()
+
+
+def test_rr_conf_cell_list():
+    """libconfig-subset rr.conf parsing (srsenb parser.cc)."""
+    import tempfile, os
+    from srsran_4g_tpu import config
+
+    rr = '''
+    // reference-style cell list with comments
+    cell_list = (
+      { cell_id = 0x01; pci = 1; dl_earfcn = 3350; tac = 0x0007;
+        root_seq_idx = 204; },
+      { cell_id = 0x02; pci = 2; dl_earfcn = 3400; }
+    );
+    '''
+    with tempfile.NamedTemporaryFile("w", suffix=".conf",
+                                     delete=False) as f:
+        f.write(rr)
+        p = f.name
+    try:
+        cells = config.load_rr_conf(p)
+    finally:
+        os.unlink(p)
+    assert len(cells) == 2
+    assert cells[0].tac == 7 and cells[0].root_seq_idx == 204
+    assert cells[1].dl_earfcn == 3400 and cells[1].root_seq_idx == 128

@@ -90,3 +90,33 @@ def test_fading_taps_statistics():
     # total mean power ≈ 1 (normalised profile)
     p = np.mean(np.sum(np.abs(g) ** 2, axis=0))
     assert 0.5 < p < 2.0
+
+
+def test_cedron_freq_estimator():
+    """Fine-frequency estimate far below bin spacing (cedron_freq_estimator.c)."""
+    import jax
+    import jax.numpy as jnp
+    from srsran_4g_tpu.models import sync
+
+    n, f = 64, 0.1234
+    x = jnp.exp(2j * np.pi * f * jnp.arange(n))[None]
+    noise = jax.random.normal(jax.random.PRNGKey(0), (1, n, 2)) @ \
+        jnp.asarray([1.0, 1j])
+    est = float(sync.cedron_freq_estimate(x + 0.05 * noise)[0])
+    assert abs(est - f) < 1e-3          # ~1/100 of the bin spacing
+    est_neg = float(sync.cedron_freq_estimate(
+        jnp.exp(-2j * np.pi * 0.07 * jnp.arange(n))[None])[0])
+    assert abs(est_neg + 0.07) < 1e-3
+
+
+def test_sfo_estimator():
+    """SFO from per-frame timing drift (sfo.c)."""
+    import jax.numpy as jnp
+    from srsran_4g_tpu.models import sync
+
+    drift = 2.5  # samples/s
+    offs = jnp.asarray(
+        100 + drift * 0.01 * np.arange(20)
+        + 0.1 * np.random.default_rng(0).standard_normal(20))[None]
+    est = float(sync.sfo_estimate(offs)[0])
+    assert abs(est - drift) < 0.5
