@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from srsran_4g_tpu.models import grid as G, sch
+from srsran_4g_tpu.models import uci as uci_mod
 from srsran_4g_tpu.models.refsignal_ul import pusch_dmrs
 from srsran_4g_tpu.models import equalizer
 from srsran_4g_tpu.ops import modem, scrambling
@@ -43,6 +44,7 @@ class PuschConfig:
     nof_prb_alloc: int = 4
     rv: int = 0
     cyclic_shift: int = 0
+    uci: uci_mod.UciCfg | None = None
 
     @property
     def m_sc(self) -> int:
@@ -61,8 +63,19 @@ class PuschConfig:
         return self.nof_re * self.qm
 
     @functools.cached_property
+    def uci_plan(self) -> uci_mod.UciPlan | None:
+        if self.uci is None:
+            return None
+        return uci_mod.uci_plan(self.tbs, self.m_sc, self.qm, self.uci)
+
+    @property
+    def g_data(self) -> int:
+        """UL-SCH coded bits (= g_bits unless UCI reserves symbols)."""
+        return self.g_bits if self.uci_plan is None else self.uci_plan.g_data
+
+    @functools.cached_property
     def plan(self) -> sch.DlschPlan:
-        return sch.dlsch_plan(self.tbs, self.g_bits, self.qm, self.rv)
+        return sch.dlsch_plan(self.tbs, self.g_data, self.qm, self.rv)
 
     @functools.cached_property
     def scramble_seq(self) -> np.ndarray:
@@ -99,10 +112,23 @@ def transform_deprecode(y: jnp.ndarray) -> jnp.ndarray:
             ).astype(jnp.complex64)
 
 
-def encode(cfg: PuschConfig, tb_bits: jnp.ndarray) -> jnp.ndarray:
-    """TB bits (B, tbs) → UL subframe grid (B, 14, nre) with PUSCH+DMRS."""
+def encode(
+    cfg: PuschConfig,
+    tb_bits: jnp.ndarray,
+    cqi_bits: jnp.ndarray | None = None,
+    ack_bits: jnp.ndarray | None = None,
+    ri_bits: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """TB bits (B, tbs) → UL subframe grid (B, 14, nre) with PUSCH+DMRS.
+
+    With `cfg.uci` set, CQI/RI coded symbols are multiplexed with the
+    UL-SCH data and HARQ-ACK punctures it (sch.c ulsch_interleave)."""
     cw = sch.dlsch_encode(cfg.plan, tb_bits)  # UL-SCH shares the FEC chain
-    inter = cw[..., jnp.asarray(cfg.interleave_perm)]
+    if cfg.uci_plan is not None:
+        inter = uci_mod.mux(cfg.uci_plan, cw, cqi_bits=cqi_bits,
+                            ack_bits=ack_bits, ri_bits=ri_bits)
+    else:
+        inter = cw[..., jnp.asarray(cfg.interleave_perm)]
     scr = scrambling.scramble_bits(inter, jnp.asarray(cfg.scramble_seq))
     syms = modem.modulate(cfg.mod, scr)  # (B, 12*M_sc), symbol-major
     b = tb_bits.shape[0]
@@ -168,9 +194,15 @@ def decode(
     llr = modem.demodulate_soft(cfg.mod, x_t, nv_t)
     llr = llr.reshape(b, cfg.g_bits)
     llr = scrambling.descramble_llrs(llr, jnp.asarray(cfg.scramble_seq))
-    deinter = jnp.zeros_like(llr)
-    deinter = deinter.at[..., jnp.asarray(cfg.interleave_perm)].set(llr)
+    extra: dict = {}
+    if cfg.uci_plan is not None:
+        dmx = uci_mod.demux(cfg.uci_plan, llr)
+        deinter = dmx.pop("data_llrs")
+        extra = dmx
+    else:
+        deinter = jnp.zeros_like(llr)
+        deinter = deinter.at[..., jnp.asarray(cfg.interleave_perm)].set(llr)
     bits, ok, soft = sch.dlsch_decode(
         cfg.plan, deinter, softbuffers=softbuffers, n_iter=n_iter
     )
-    return dict(bits=bits, crc_ok=ok, softbuffers=soft, **est)
+    return dict(bits=bits, crc_ok=ok, softbuffers=soft, **extra, **est)
