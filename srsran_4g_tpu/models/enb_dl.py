@@ -48,6 +48,24 @@ def put_sync_signals(
     return g
 
 
+def put_sync_signals_tdd(
+    cell: G.CellConfig, grid_tx: jnp.ndarray, subframe: int
+) -> jnp.ndarray:
+    """TDD (frame structure type 2, TS 36.211 §6.11): SSS in the last
+    symbol of subframes 0/5, PSS in symbol 2 (third DwPTS symbol) of the
+    special subframes 1/6."""
+    mid = cell.nre // 2
+    ks = jnp.arange(mid - 31, mid + 31)
+    g = jnp.asarray(grid_tx)
+    if subframe in (0, 5):
+        sss_v, _ = pss_sss_values(cell, subframe)
+        g = g.at[..., cell.nsymb - 1, ks].set(jnp.asarray(sss_v))
+    elif subframe in (1, 6):
+        pss = pss_sequence(cell.cell_id % 3).astype(np.complex64)
+        g = g.at[..., 2, ks].set(jnp.asarray(pss))
+    return g
+
+
 def assemble_subframe(
     pdsch_cfg: pdsch_mod.PdschConfig,
     tb_bits: jnp.ndarray,
