@@ -55,6 +55,247 @@ def _const_col(vals):
     return ((pattern >> iota) & 1).astype(jnp.float32)
 
 
+def _make_kernel_v2(t_train: int, l_win: int, unroll: int):
+    """Optimised half-iteration kernel.
+
+    EXPERIMENT — measured ~equal to v1 on v5e (the chains are not pure
+    ALU-latency bound; per-step VMEM row loads dominate), kept for
+    documentation.  vs the v1 kernel:
+    - the alpha and beta recursions are *interleaved* in one loop — they
+      are independent dependency chains, so the VLIW scheduler can issue
+      them in parallel instead of serialising two chains of small
+      (8, tile) vector ops;
+    - the loop is unrolled `unroll`× and state-metric normalisation runs
+      once per unrolled block instead of every step (normalisation is a
+      common shift across states, so it cancels exactly in the LLR —
+      only f32 headroom matters, and gammas are tiny);
+    - LLRs are not emitted per backward step; betas are parked in a
+      second scratch buffer and one vectorised (L, 8, N) pass computes
+      all LLRs with large contiguous ops.
+    """
+    tab = _tables()
+    pred0 = tuple(int(v) for v in tab["pred"][:, 0])
+    pred1 = tuple(int(v) for v in tab["pred"][:, 1])
+    u0v, u1v = tab["pred_u"][:, 0], tab["pred_u"][:, 1]
+    q0v, q1v = tab["pred_p"][:, 0], tab["pred_p"][:, 1]
+    ns0 = tuple(int(v) for v in tab["ns"][:, 0])
+    ns1 = tuple(int(v) for v in tab["ns"][:, 1])
+    p0v, p1v = tab["par"][:, 0], tab["par"][:, 1]
+    steps = t_train + l_win
+    assert l_win % unroll == 0
+
+    def kernel(gsa, gpa, ma, gsb, gpb, mb, a0, b0, gsl, gpl,
+               out, astore, bstore):
+        U0, U1 = _const_col(u0v), _const_col(u1v)
+        Q0, Q1 = _const_col(q0v), _const_col(q1v)
+        P0, P1 = _const_col(p0v), _const_col(p1v)
+
+        def alpha_acs(alpha, gs, gp, norm):
+            c0 = _restack(alpha, pred0) + U0 * gs + Q0 * gp
+            c1 = _restack(alpha, pred1) + U1 * gs + Q1 * gp
+            new = jnp.maximum(c0, c1)
+            if norm:
+                new = new - jnp.max(new, axis=0, keepdims=True)
+            return new
+
+        def beta_acs(beta, gs, gp, norm):
+            c0 = _restack(beta, ns0) + P0 * gp
+            c1 = _restack(beta, ns1) + gs + P1 * gp
+            new = jnp.maximum(c0, c1)
+            if norm:
+                new = new - jnp.max(new, axis=0, keepdims=True)
+            return new
+
+        # ---- interleaved masked training --------------------------------
+        def train(i, carry):
+            alpha, beta = carry
+            na = alpha_acs(alpha, gsa[pl.ds(i, 1), :], gpa[pl.ds(i, 1), :],
+                           True)
+            nb = beta_acs(beta, gsb[pl.ds(i, 1), :], gpb[pl.ds(i, 1), :],
+                          True)
+            m_a = ma[pl.ds(i, 1), :]
+            m_b = mb[pl.ds(i, 1), :]
+            return (m_a * na + (1.0 - m_a) * alpha,
+                    m_b * nb + (1.0 - m_b) * beta)
+
+        alpha, beta = jax.lax.fori_loop(0, t_train, train,
+                                        (a0[:, :], b0[:, :]))
+
+        # ---- interleaved unrolled body -----------------------------------
+        # astore[j] = alpha at window pos j (pre-ACS of step i = j+T);
+        # bstore[j] = beta_{k+1} for out pos j: the beta value *after*
+        # the backward ACS of step i = L+T-2-j (bstore[L-1] = post-train).
+        bstore[pl.ds(l_win - 1, 1)] = beta[None]
+
+        def block(jb, carry):
+            alpha, beta = carry
+            for u in range(unroll):
+                i = jb * unroll + u + t_train
+                astore[pl.ds(i - t_train, 1)] = alpha[None]
+                norm = u == unroll - 1
+                alpha = alpha_acs(alpha, gsa[pl.ds(i, 1), :],
+                                  gpa[pl.ds(i, 1), :], norm)
+                beta = beta_acs(beta, gsb[pl.ds(i, 1), :],
+                                gpb[pl.ds(i, 1), :], norm)
+
+                @pl.when(i <= steps - 2)
+                def _():
+                    bstore[pl.ds(l_win + t_train - 2 - i, 1)] = beta[None]
+
+            return alpha, beta
+
+        jax.lax.fori_loop(0, l_win // unroll, block, (alpha, beta))
+
+        # ---- vectorised LLR pass over the whole window -------------------
+        # out[j] needs gamma rows gsb/gpb[L+T-1-j], passed in pre-reversed
+        # as gsl/gpl[j].
+        a_all = astore[...]                      # (L, 8, NT)
+        b_all = bstore[...]                      # (L, 8, NT)
+        gl_s = gsl[...][:, None, :]
+        gl_p = gpl[...][:, None, :]
+        b_ns0 = jnp.concatenate([b_all[:, s:s + 1, :] for s in ns0], axis=1)
+        b_ns1 = jnp.concatenate([b_all[:, s:s + 1, :] for s in ns1], axis=1)
+        t0 = a_all + b_ns0 + P0[None] * gl_p
+        t1 = a_all + b_ns1 + P1[None] * gl_p
+        m0 = jnp.max(t0, axis=1)
+        m1 = jnp.max(t1, axis=1)
+        out[...] = m1 + gl_s[:, 0, :] - m0
+
+    return kernel
+
+
+def _make_kernel_v3(t_train: int, l_win: int, tile_n: int):
+    """Latency-hiding half-iteration kernel.
+
+    The MAP recursions are long dependency chains of small (8, NT) vector
+    ops, so the v1 kernel is latency-bound (tile-size sweeps show weak
+    scaling with issue width).  v3 splits each tile's lanes into two
+    halves and runs two *independent* chains in every phase:
+
+      phase 1:  alpha sweep on half A   ∥   beta sweep on half B
+      phase 2:  beta sweep + LLR on A   ∥   alpha sweep + LLR on B
+
+    Phase 2's beta(A) consumes astore(A) written in phase 1, and
+    alpha(B) consumes bstore(B) written in phase 1 — same scratch volume
+    and op count as v1, but the VLIW scheduler always has two chains to
+    overlap.
+
+    EXPERIMENT — micro-benches ~3% faster than v1 per half at tile 512
+    but loses at the full-decode level (smaller tiles double the grid);
+    v1 stays the default.
+    """
+    tab = _tables()
+    pred0 = tuple(int(v) for v in tab["pred"][:, 0])
+    pred1 = tuple(int(v) for v in tab["pred"][:, 1])
+    u0v, u1v = tab["pred_u"][:, 0], tab["pred_u"][:, 1]
+    q0v, q1v = tab["pred_p"][:, 0], tab["pred_p"][:, 1]
+    ns0 = tuple(int(v) for v in tab["ns"][:, 0])
+    ns1 = tuple(int(v) for v in tab["ns"][:, 1])
+    p0v, p1v = tab["par"][:, 0], tab["par"][:, 1]
+    steps = t_train + l_win
+    h = tile_n // 2  # lane split
+
+    def kernel(gsa, gpa, ma, gsb, gpb, mb, a0, b0, out, astore, bstore):
+        U0, U1 = _const_col(u0v), _const_col(u1v)
+        Q0, Q1 = _const_col(q0v), _const_col(q1v)
+        P0, P1 = _const_col(p0v), _const_col(p1v)
+
+        def alpha_acs(alpha, gs, gp):
+            c0 = _restack(alpha, pred0) + U0 * gs + Q0 * gp
+            c1 = _restack(alpha, pred1) + U1 * gs + Q1 * gp
+            new = jnp.maximum(c0, c1)
+            return new - jnp.max(new, axis=0, keepdims=True)
+
+        def beta_acs(beta, gs, gp):
+            c0 = _restack(beta, ns0) + P0 * gp
+            c1 = _restack(beta, ns1) + gs + P1 * gp
+            new = jnp.maximum(c0, c1)
+            return new - jnp.max(new, axis=0, keepdims=True)
+
+        A = pl.ds(0, h)
+        B = pl.ds(h, h)
+
+        # ---- phase 1: alpha(A) ∥ beta(B), masked training then body ----
+        def p1_train(i, carry):
+            alpha, beta = carry
+            na = alpha_acs(alpha, gsa[pl.ds(i, 1), A], gpa[pl.ds(i, 1), A])
+            nb = beta_acs(beta, gsb[pl.ds(i, 1), B], gpb[pl.ds(i, 1), B])
+            m_a = ma[pl.ds(i, 1), A]
+            m_b = mb[pl.ds(i, 1), B]
+            return (m_a * na + (1.0 - m_a) * alpha,
+                    m_b * nb + (1.0 - m_b) * beta)
+
+        alpha_a, beta_b = jax.lax.fori_loop(
+            0, t_train, p1_train, (a0[:, A], b0[:, B]))
+
+        bstore[pl.ds(l_win - 1, 1)] = beta_b[None]
+
+        def p1_body(i, carry):
+            alpha, beta = carry
+            astore[pl.ds(i - t_train, 1)] = alpha[None]
+            alpha = alpha_acs(alpha, gsa[pl.ds(i, 1), A], gpa[pl.ds(i, 1), A])
+            beta = beta_acs(beta, gsb[pl.ds(i, 1), B], gpb[pl.ds(i, 1), B])
+
+            @pl.when(i <= steps - 2)
+            def _():
+                bstore[pl.ds(l_win + t_train - 2 - i, 1)] = beta[None]
+
+            return alpha, beta
+
+        jax.lax.fori_loop(t_train, steps, p1_body, (alpha_a, beta_b))
+
+        # ---- phase 2: beta(A)+LLR ∥ alpha(B)+LLR ------------------------
+        def p2_train(i, carry):
+            alpha, beta = carry
+            na = alpha_acs(alpha, gsa[pl.ds(i, 1), B], gpa[pl.ds(i, 1), B])
+            nb = beta_acs(beta, gsb[pl.ds(i, 1), A], gpb[pl.ds(i, 1), A])
+            m_a = ma[pl.ds(i, 1), B]
+            m_b = mb[pl.ds(i, 1), A]
+            return (m_a * na + (1.0 - m_a) * alpha,
+                    m_b * nb + (1.0 - m_b) * beta)
+
+        alpha_b, beta_a = jax.lax.fori_loop(
+            0, t_train, p2_train, (a0[:, B], b0[:, A]))
+
+        def emit_a(idx, beta, i_gamma):
+            a_k = astore[pl.ds(idx, 1)][0]
+            gsv = gsb[pl.ds(i_gamma, 1), A]
+            gpv = gpb[pl.ds(i_gamma, 1), A]
+            t0 = a_k + _restack(beta, ns0) + P0 * gpv
+            t1 = a_k + _restack(beta, ns1) + P1 * gpv
+            out[pl.ds(idx, 1), A] = (jnp.max(t1, axis=0, keepdims=True) + gsv
+                                     - jnp.max(t0, axis=0, keepdims=True))
+
+        def emit_b(idx, alpha, i_gamma):
+            # LLR at window pos idx for half B: beta_{k+1} from bstore,
+            # alpha is the live forward metric at pos idx
+            b_k1 = bstore[pl.ds(idx, 1)][0]
+            gsv = gsa[pl.ds(i_gamma, 1), B]
+            gpv = gpa[pl.ds(i_gamma, 1), B]
+            t0 = alpha + _restack(b_k1, ns0) + P0 * gpv
+            t1 = alpha + _restack(b_k1, ns1) + P1 * gpv
+            out[pl.ds(idx, 1), B] = (jnp.max(t1, axis=0, keepdims=True) + gsv
+                                     - jnp.max(t0, axis=0, keepdims=True))
+
+        emit_a(l_win - 1, beta_a, t_train)
+
+        def p2_body(i, carry):
+            alpha, beta = carry
+            emit_b(i - t_train, alpha, i)
+            alpha = alpha_acs(alpha, gsa[pl.ds(i, 1), B], gpa[pl.ds(i, 1), B])
+            beta = beta_acs(beta, gsb[pl.ds(i, 1), A], gpb[pl.ds(i, 1), A])
+
+            @pl.when(i <= steps - 2)
+            def _():
+                emit_a(l_win + t_train - 2 - i, beta, i + 1)
+
+            return alpha, beta
+
+        jax.lax.fori_loop(t_train, steps, p2_body, (alpha_b, beta_a))
+
+    return kernel
+
+
 def _make_kernel(t_train: int, l_win: int):
     tab = _tables()
     pred0 = tuple(int(v) for v in tab["pred"][:, 0])
@@ -155,6 +396,12 @@ def map_windowed_pallas(
     """Returns LLRs (L, N)."""
     steps, n = gsa.shape
     assert steps == t_train + l_win
+    import os
+    kern_ver = os.environ.get("TURBO_KERNEL", "v1")
+    if interpret:
+        tile_n = min(tile_n, 256)
+    else:
+        tile_n = int(os.environ.get("TURBO_TILE", "1024" if kern_ver == "v1" else "512"))
     if n % tile_n != 0:
         pad = tile_n - n % tile_n
         padf = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
@@ -163,20 +410,48 @@ def map_windowed_pallas(
         a_init, b_init = padf(a_init), padf(b_init)
     np_ = gsa.shape[1]
 
-    kernel = _make_kernel(t_train, l_win)
+    # gamma rows for the LLR pass, pre-reversed so the kernel reads them
+    # in emission order: gsl[j] = gsb[L+T-1-j]
+    gsl = gsb[t_train:][::-1]
+    gpl = gpb[t_train:][::-1]
+
     grid = (np_ // tile_n,)
     spec_g = pl.BlockSpec((steps, tile_n), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
+    spec_l = pl.BlockSpec((l_win, tile_n), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
     spec_i = pl.BlockSpec((8, tile_n), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[spec_g] * 6 + [spec_i, spec_i],
-        out_specs=pl.BlockSpec((l_win, tile_n), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((l_win, np_), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((l_win, 8, tile_n), jnp.float32)],
-        interpret=interpret,
-    )(gsa, gpa, ma, gsb, gpb, mb, a_init, b_init)
+    if kern_ver == "v2":
+        unroll = next(u for u in (4, 2, 1) if l_win % u == 0)
+        kernel = _make_kernel_v2(t_train, l_win, unroll)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec_g] * 6 + [spec_i, spec_i] + [spec_l] * 2,
+            out_specs=pl.BlockSpec((l_win, tile_n), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((l_win, np_), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((l_win, 8, tile_n), jnp.float32),
+                            pltpu.VMEM((l_win, 8, tile_n), jnp.float32)],
+            interpret=interpret,
+        )(gsa, gpa, ma, gsb, gpb, mb, a_init, b_init, gsl, gpl)
+    else:
+        if kern_ver == "v3":
+            kernel = _make_kernel_v3(t_train, l_win, tile_n)
+            scratch = [pltpu.VMEM((l_win, 8, tile_n // 2), jnp.float32),
+                       pltpu.VMEM((l_win, 8, tile_n // 2), jnp.float32)]
+        else:
+            kernel = _make_kernel(t_train, l_win)
+            scratch = [pltpu.VMEM((l_win, 8, tile_n), jnp.float32)]
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec_g] * 6 + [spec_i, spec_i],
+            out_specs=pl.BlockSpec((l_win, tile_n), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((l_win, np_), jnp.float32),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(gsa, gpa, ma, gsb, gpb, mb, a_init, b_init)
     return out[:, :n]
