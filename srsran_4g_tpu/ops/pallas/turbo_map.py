@@ -22,6 +22,16 @@ half-iteration per tile inside one Mosaic program:
 Inputs are the per-window gamma streams and masks precomputed by
 ops/turbo.py (identical to the XLA path), so the two backends are
 numerically interchangeable; `interpret=True` is used on CPU in tests.
+
+Tuning record (v5e, 1664 CBs of K=5824, L=112/T=32, one half-iteration):
+v1 (this kernel) 5.5 ms @ tile 1024.  Probed and rejected: interleaved
+alpha/beta with vectorised LLR pass (6.0 ms — extra beta stores outweigh
+ILP), split-lane dual-chain v3 (5.3 ms micro but loses at full-decode
+level; selectable via TURBO_KERNEL=v3), block gamma loads with static
+row slices (5.7 ms — row loads are not the bottleneck), state permute
+as (8,8) MXU matmul (7.6 ms — MXU latency lengthens the chain).  The
+recursion is bound by the serial dependence of ~10 multi-vreg VPU stages
+per trellis step; tile 1024 saturates issue width (512: +2%, 256: +17%).
 """
 
 from __future__ import annotations
@@ -53,115 +63,6 @@ def _const_col(vals):
     pattern = int(sum(int(v) << i for i, v in enumerate(vals)))
     iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     return ((pattern >> iota) & 1).astype(jnp.float32)
-
-
-def _make_kernel_v2(t_train: int, l_win: int, unroll: int):
-    """Optimised half-iteration kernel.
-
-    EXPERIMENT — measured ~equal to v1 on v5e (the chains are not pure
-    ALU-latency bound; per-step VMEM row loads dominate), kept for
-    documentation.  vs the v1 kernel:
-    - the alpha and beta recursions are *interleaved* in one loop — they
-      are independent dependency chains, so the VLIW scheduler can issue
-      them in parallel instead of serialising two chains of small
-      (8, tile) vector ops;
-    - the loop is unrolled `unroll`× and state-metric normalisation runs
-      once per unrolled block instead of every step (normalisation is a
-      common shift across states, so it cancels exactly in the LLR —
-      only f32 headroom matters, and gammas are tiny);
-    - LLRs are not emitted per backward step; betas are parked in a
-      second scratch buffer and one vectorised (L, 8, N) pass computes
-      all LLRs with large contiguous ops.
-    """
-    tab = _tables()
-    pred0 = tuple(int(v) for v in tab["pred"][:, 0])
-    pred1 = tuple(int(v) for v in tab["pred"][:, 1])
-    u0v, u1v = tab["pred_u"][:, 0], tab["pred_u"][:, 1]
-    q0v, q1v = tab["pred_p"][:, 0], tab["pred_p"][:, 1]
-    ns0 = tuple(int(v) for v in tab["ns"][:, 0])
-    ns1 = tuple(int(v) for v in tab["ns"][:, 1])
-    p0v, p1v = tab["par"][:, 0], tab["par"][:, 1]
-    steps = t_train + l_win
-    assert l_win % unroll == 0
-
-    def kernel(gsa, gpa, ma, gsb, gpb, mb, a0, b0, gsl, gpl,
-               out, astore, bstore):
-        U0, U1 = _const_col(u0v), _const_col(u1v)
-        Q0, Q1 = _const_col(q0v), _const_col(q1v)
-        P0, P1 = _const_col(p0v), _const_col(p1v)
-
-        def alpha_acs(alpha, gs, gp, norm):
-            c0 = _restack(alpha, pred0) + U0 * gs + Q0 * gp
-            c1 = _restack(alpha, pred1) + U1 * gs + Q1 * gp
-            new = jnp.maximum(c0, c1)
-            if norm:
-                new = new - jnp.max(new, axis=0, keepdims=True)
-            return new
-
-        def beta_acs(beta, gs, gp, norm):
-            c0 = _restack(beta, ns0) + P0 * gp
-            c1 = _restack(beta, ns1) + gs + P1 * gp
-            new = jnp.maximum(c0, c1)
-            if norm:
-                new = new - jnp.max(new, axis=0, keepdims=True)
-            return new
-
-        # ---- interleaved masked training --------------------------------
-        def train(i, carry):
-            alpha, beta = carry
-            na = alpha_acs(alpha, gsa[pl.ds(i, 1), :], gpa[pl.ds(i, 1), :],
-                           True)
-            nb = beta_acs(beta, gsb[pl.ds(i, 1), :], gpb[pl.ds(i, 1), :],
-                          True)
-            m_a = ma[pl.ds(i, 1), :]
-            m_b = mb[pl.ds(i, 1), :]
-            return (m_a * na + (1.0 - m_a) * alpha,
-                    m_b * nb + (1.0 - m_b) * beta)
-
-        alpha, beta = jax.lax.fori_loop(0, t_train, train,
-                                        (a0[:, :], b0[:, :]))
-
-        # ---- interleaved unrolled body -----------------------------------
-        # astore[j] = alpha at window pos j (pre-ACS of step i = j+T);
-        # bstore[j] = beta_{k+1} for out pos j: the beta value *after*
-        # the backward ACS of step i = L+T-2-j (bstore[L-1] = post-train).
-        bstore[pl.ds(l_win - 1, 1)] = beta[None]
-
-        def block(jb, carry):
-            alpha, beta = carry
-            for u in range(unroll):
-                i = jb * unroll + u + t_train
-                astore[pl.ds(i - t_train, 1)] = alpha[None]
-                norm = u == unroll - 1
-                alpha = alpha_acs(alpha, gsa[pl.ds(i, 1), :],
-                                  gpa[pl.ds(i, 1), :], norm)
-                beta = beta_acs(beta, gsb[pl.ds(i, 1), :],
-                                gpb[pl.ds(i, 1), :], norm)
-
-                @pl.when(i <= steps - 2)
-                def _():
-                    bstore[pl.ds(l_win + t_train - 2 - i, 1)] = beta[None]
-
-            return alpha, beta
-
-        jax.lax.fori_loop(0, l_win // unroll, block, (alpha, beta))
-
-        # ---- vectorised LLR pass over the whole window -------------------
-        # out[j] needs gamma rows gsb/gpb[L+T-1-j], passed in pre-reversed
-        # as gsl/gpl[j].
-        a_all = astore[...]                      # (L, 8, NT)
-        b_all = bstore[...]                      # (L, 8, NT)
-        gl_s = gsl[...][:, None, :]
-        gl_p = gpl[...][:, None, :]
-        b_ns0 = jnp.concatenate([b_all[:, s:s + 1, :] for s in ns0], axis=1)
-        b_ns1 = jnp.concatenate([b_all[:, s:s + 1, :] for s in ns1], axis=1)
-        t0 = a_all + b_ns0 + P0[None] * gl_p
-        t1 = a_all + b_ns1 + P1[None] * gl_p
-        m0 = jnp.max(t0, axis=1)
-        m1 = jnp.max(t1, axis=1)
-        out[...] = m1 + gl_s[:, 0, :] - m0
-
-    return kernel
 
 
 def _make_kernel_v3(t_train: int, l_win: int, tile_n: int):
@@ -296,6 +197,8 @@ def _make_kernel_v3(t_train: int, l_win: int, tile_n: int):
     return kernel
 
 
+
+
 def _make_kernel(t_train: int, l_win: int):
     tab = _tables()
     pred0 = tuple(int(v) for v in tab["pred"][:, 0])
@@ -410,48 +313,26 @@ def map_windowed_pallas(
         a_init, b_init = padf(a_init), padf(b_init)
     np_ = gsa.shape[1]
 
-    # gamma rows for the LLR pass, pre-reversed so the kernel reads them
-    # in emission order: gsl[j] = gsb[L+T-1-j]
-    gsl = gsb[t_train:][::-1]
-    gpl = gpb[t_train:][::-1]
-
     grid = (np_ // tile_n,)
     spec_g = pl.BlockSpec((steps, tile_n), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-    spec_l = pl.BlockSpec((l_win, tile_n), lambda i: (0, i),
-                          memory_space=pltpu.VMEM)
     spec_i = pl.BlockSpec((8, tile_n), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-    if kern_ver == "v2":
-        unroll = next(u for u in (4, 2, 1) if l_win % u == 0)
-        kernel = _make_kernel_v2(t_train, l_win, unroll)
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[spec_g] * 6 + [spec_i, spec_i] + [spec_l] * 2,
-            out_specs=pl.BlockSpec((l_win, tile_n), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((l_win, np_), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((l_win, 8, tile_n), jnp.float32),
-                            pltpu.VMEM((l_win, 8, tile_n), jnp.float32)],
-            interpret=interpret,
-        )(gsa, gpa, ma, gsb, gpb, mb, a_init, b_init, gsl, gpl)
+    if kern_ver == "v3":
+        kernel = _make_kernel_v3(t_train, l_win, tile_n)
+        scratch = [pltpu.VMEM((l_win, 8, tile_n // 2), jnp.float32),
+                   pltpu.VMEM((l_win, 8, tile_n // 2), jnp.float32)]
     else:
-        if kern_ver == "v3":
-            kernel = _make_kernel_v3(t_train, l_win, tile_n)
-            scratch = [pltpu.VMEM((l_win, 8, tile_n // 2), jnp.float32),
-                       pltpu.VMEM((l_win, 8, tile_n // 2), jnp.float32)]
-        else:
-            kernel = _make_kernel(t_train, l_win)
-            scratch = [pltpu.VMEM((l_win, 8, tile_n), jnp.float32)]
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[spec_g] * 6 + [spec_i, spec_i],
-            out_specs=pl.BlockSpec((l_win, tile_n), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((l_win, np_), jnp.float32),
-            scratch_shapes=scratch,
-            interpret=interpret,
-        )(gsa, gpa, ma, gsb, gpb, mb, a_init, b_init)
+        kernel = _make_kernel(t_train, l_win)
+        scratch = [pltpu.VMEM((l_win, 8, tile_n), jnp.float32)]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_g] * 6 + [spec_i, spec_i],
+        out_specs=pl.BlockSpec((l_win, tile_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l_win, np_), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(gsa, gpa, ma, gsb, gpb, mb, a_init, b_init)
     return out[:, :n]
