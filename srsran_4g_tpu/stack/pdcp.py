@@ -4,7 +4,10 @@ Counterpart of the reference's `lib/src/pdcp/pdcp_entity_lte.cc`: data-plane
 (DRB, 12-bit SN) and control-plane (SRB, 5-bit SN) PDU formats, COUNT
 maintenance with hyper-frame numbers, ciphering (security.eea*) and
 integrity (security.eia2) hooks, duplicate/reorder handling for RLC UM
-delivery, and per-SDU discard timers (pdcp_entity_lte.h:91).
+delivery, per-SDU discard timers (pdcp_entity_lte.h:91), and status
+reports (pdcp_entity_lte.h:145, TS 36.323 §5.3.1): FMS + received-SN
+bitmap control PDUs exchanged at re-establishment of AM DRBs, with the
+TX side discarding acknowledged SDUs on reception.
 """
 
 from __future__ import annotations
@@ -37,6 +40,8 @@ class PdcpEntity:
         self.delivered: list[bytes] = []
         self.integrity_failures = 0
         self._discard: dict[int, int] = {}  # count -> remaining ms
+        self._rx_counts: set[int] = set()   # received counts >= _rx_base
+        self._rx_base = 0                   # all counts below are received
 
     # --- TX ---------------------------------------------------------------
 
@@ -102,7 +107,53 @@ class PdcpEntity:
                 self.rx_hfn = hfn + 1
             else:
                 self.rx_hfn = hfn
+        if count >= self._rx_base:
+            self._rx_counts.add(count)
+            while self._rx_base in self._rx_counts:
+                self._rx_counts.discard(self._rx_base)
+                self._rx_base += 1
         self.delivered.append(sdu)
+
+    # --- status report (TS 36.323 §5.3.1 / §6.2.6) --------------------------
+
+    def status_report(self) -> bytes:
+        """Control PDU: D/C=0, type=0, FMS (first missing SN, 12 bit) +
+        bitmap of received SNs after FMS (bit 1 = received)."""
+        fms_count = self._rx_base
+        fms = fms_count % self.sn_mod
+        top = max(self._rx_counts, default=fms_count)
+        nbits = max(0, top - fms_count)
+        bits = [1 if (fms_count + 1 + i) in self._rx_counts else 0
+                for i in range(nbits)]
+        out = bytearray([fms >> 8, fms & 0xFF])  # D/C=0, type=000
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for j, b in enumerate(bits[i:i + 8]):
+                byte |= b << (7 - j)
+            out.append(byte)
+        return bytes(out)
+
+    def handle_status_report(self, pdu: bytes) -> list[int]:
+        """TX side: discard acknowledged SDUs (cancel discard timers).
+        Returns the acknowledged COUNT offsets relative to FMS semantics:
+        counts < FMS plus bitmap-1 positions."""
+        assert not (pdu[0] & 0x80) and ((pdu[0] >> 4) & 0x7) == 0
+        fms = ((pdu[0] & 0x0F) << 8) | pdu[1]
+        # reconstruct the FMS count against our TX counter window
+        hfn = (self.tx_count // self.sn_mod)
+        cand = [h * self.sn_mod + fms for h in (hfn - 1, hfn, hfn + 1)
+                if h >= 0]
+        fms_count = min(cand, key=lambda c: abs(c - self.tx_count))
+        acked = [c for c in list(self._discard) if c < fms_count]
+        pos = 0
+        for byte_i in range(2, len(pdu)):
+            for j in range(8):
+                if (pdu[byte_i] >> (7 - j)) & 1:
+                    acked.append(fms_count + 1 + pos)
+                pos += 1
+        for c in acked:
+            self._discard.pop(c, None)
+        return sorted(set(acked))
 
     # --- timers -----------------------------------------------------------
 

@@ -3,10 +3,12 @@
 Counterpart of the reference's `lib/src/rlc/rlc_am_lte.cc` (SURVEY.md §2.3):
 AMD PDUs (D/C, RF, P, FI, E, 10-bit SN), SDU segmentation/concatenation,
 ARQ with STATUS PDUs (ACK_SN + NACK list), the poll machinery (pollPDU /
-pollByte / t-PollRetransmit), t-Reordering driven status triggering and
-t-StatusProhibit.  Retransmissions resend whole PDUs (no re-segmentation),
-which is sufficient when the grant size is stable — the common case the
-reference's stress test exercises.
+pollByte / t-PollRetransmit), t-Reordering driven status triggering,
+t-StatusProhibit, and **re-segmentation**: a retransmitted PDU that no
+longer fits the grant is split into AMD PDU segments (RF=1 headers with
+LSF + 15-bit SO, §6.2.1.5), each carrying the FI/LI structure of the
+SDU fields it contains; the receiver reassembles segments by SO and
+reconstructs the original PDU's field boundaries exactly.
 
 Driven by explicit `tick()` calls (1 ms).
 """
@@ -31,13 +33,10 @@ class AmdPdu:
     poll: bool
     lis: list[int]
     data: bytes
-    retx: bool = False
 
 
 def pack_amd(p: AmdPdu) -> bytes:
-    b0 = 0x80  # D/C = data
-    if p.retx:
-        b0 |= 0x40  # RF (treated as plain retransmission, full PDU)
+    b0 = 0x80  # D/C = data, RF = 0 (a retransmitted full PDU is identical)
     if p.poll:
         b0 |= 0x20
     fi = (0 if p.fi_first else 2) | (0 if p.fi_last else 1)
@@ -46,10 +45,44 @@ def pack_amd(p: AmdPdu) -> bytes:
         b0 |= 0x04  # E
     # layout: D/C RF P FI FI E SN[9:8] | SN[7:0]
     hdr = bytes([b0 | (p.sn >> 8), p.sn & 0xFF])
+    return hdr + (_pack_li_ext(p.lis) if p.lis else b"") + p.data
+
+
+def unpack_amd(raw: bytes) -> AmdPdu:
+    b0 = raw[0]
+    assert b0 & 0x80, "not an AMD PDU"
+    assert not (b0 & 0x40), "AMD PDU segment — use unpack_amd_segment"
+    poll = bool(b0 & 0x20)
+    fi = (b0 >> 3) & 0x3
+    e = bool(b0 & 0x04)
+    sn = ((b0 & 0x3) << 8) | raw[1]
+    pos = 2
+    lis: list[int] = []
+    if e:
+        lis, pos = _unpack_li_ext(raw, pos)
+    return AmdPdu(sn=sn, fi_first=not (fi & 2), fi_last=not (fi & 1),
+                  poll=poll, lis=lis, data=bytes(raw[pos:]))
+
+
+@dataclass
+class AmdSegment:
+    """AMD PDU segment (RF=1): a byte range [so, so+len(data)) of the
+    original PDU's data field, with the FI/LIs of the fields it holds."""
+    sn: int
+    so: int
+    lsf: bool       # last segment flag
+    fi_first: bool  # first byte of this segment starts an SDU
+    fi_last: bool   # last byte of this segment ends an SDU
+    poll: bool
+    lis: list[int]
+    data: bytes
+
+
+def _pack_li_ext(lis: list[int]) -> bytes:
     ext = bytearray()
     nibble = None
-    for i, li in enumerate(p.lis):
-        e_next = 1 if i < len(p.lis) - 1 else 0
+    for i, li in enumerate(lis):
+        e_next = 1 if i < len(lis) - 1 else 0
         v = (e_next << 11) | li
         if nibble is None:
             ext.append(v >> 4)
@@ -60,37 +93,59 @@ def pack_amd(p: AmdPdu) -> bytes:
             nibble = None
     if nibble is not None:
         ext.append(nibble << 4)
-    return hdr + bytes(ext) + p.data
+    return bytes(ext)
 
 
-def unpack_amd(raw: bytes) -> AmdPdu:
+def _unpack_li_ext(raw: bytes, pos: int) -> tuple[list[int], int]:
+    lis: list[int] = []
+    nibble = None
+    while True:
+        if nibble is None:
+            v = (raw[pos] << 4) | (raw[pos + 1] >> 4)
+            nibble = True
+            pos += 1
+        else:
+            v = ((raw[pos] & 0xF) << 8) | raw[pos + 1]
+            nibble = None
+            pos += 2
+        lis.append(v & 0x7FF)
+        if not (v >> 11):
+            break
+    if nibble:
+        pos += 1
+    return lis, pos
+
+
+def pack_amd_segment(s: AmdSegment) -> bytes:
+    """RF=1 header: D/C RF P FI FI E SN(10) | LSF SO(15) (+ LI ext)."""
+    b0 = 0x80 | 0x40  # D/C = data, RF = segment
+    if s.poll:
+        b0 |= 0x20
+    fi = (0 if s.fi_first else 2) | (0 if s.fi_last else 1)
+    b0 |= fi << 3
+    if s.lis:
+        b0 |= 0x04
+    hdr = bytes([b0 | (s.sn >> 8), s.sn & 0xFF,
+                 ((1 if s.lsf else 0) << 7) | (s.so >> 8), s.so & 0xFF])
+    return hdr + (_pack_li_ext(s.lis) if s.lis else b"") + s.data
+
+
+def unpack_amd_segment(raw: bytes) -> AmdSegment:
     b0 = raw[0]
-    assert b0 & 0x80, "not an AMD PDU"
-    retx = bool(b0 & 0x40)
+    assert (b0 & 0xC0) == 0xC0, "not an AMD PDU segment"
     poll = bool(b0 & 0x20)
     fi = (b0 >> 3) & 0x3
     e = bool(b0 & 0x04)
     sn = ((b0 & 0x3) << 8) | raw[1]
-    pos = 2
-    lis = []
+    lsf = bool(raw[2] & 0x80)
+    so = ((raw[2] & 0x7F) << 8) | raw[3]
+    pos = 4
+    lis: list[int] = []
     if e:
-        nibble = None
-        while True:
-            if nibble is None:
-                v = (raw[pos] << 4) | (raw[pos + 1] >> 4)
-                nibble = True
-                pos += 1
-            else:
-                v = ((raw[pos] & 0xF) << 8) | raw[pos + 1]
-                nibble = None
-                pos += 2
-            lis.append(v & 0x7FF)
-            if not (v >> 11):
-                break
-        if nibble:
-            pos += 1
-    return AmdPdu(sn=sn, fi_first=not (fi & 2), fi_last=not (fi & 1),
-                  poll=poll, lis=lis, data=bytes(raw[pos:]), retx=retx)
+        lis, pos = _unpack_li_ext(raw, pos)
+    return AmdSegment(sn=sn, so=so, lsf=lsf, fi_first=not (fi & 2),
+                      fi_last=not (fi & 1), poll=poll, lis=lis,
+                      data=bytes(raw[pos:]))
 
 
 def pack_status(ack_sn: int, nacks: list[int]) -> bytes:
@@ -146,6 +201,17 @@ def _lt(a: int, b: int, base: int) -> bool:
     return ((a - base) % SN_MOD) < ((b - base) % SN_MOD)
 
 
+def _bounds_to_lis(bounds: list[int], total: int) -> list[int]:
+    """Field boundaries (offsets, exclusive of 0/total) → LI lengths of
+    all fields but the last."""
+    lis = []
+    prev = 0
+    for b in bounds:
+        lis.append(b - prev)
+        prev = b
+    return lis
+
+
 class RlcAm:
     """Bidirectional AM entity (TX + RX sides)."""
 
@@ -158,6 +224,7 @@ class RlcAm:
         self.vt_a = 0  # oldest unacked SN
         self.tx_window: dict[int, AmdPdu] = {}
         self.retx_q: deque[int] = deque()
+        self.retx_so: dict[int, int] = {}  # resegmentation progress per SN
         self.retx_count: dict[int, int] = {}
         self.pdu_without_poll = 0
         self.byte_without_poll = 0
@@ -172,6 +239,7 @@ class RlcAm:
         self.t_status_prohibit = -1
         self.delivered: list[bytes] = []
         self._sdu_acc: bytes | None = None
+        self.rx_segs: dict[int, dict[int, AmdSegment]] = {}
 
     # --- TX side -----------------------------------------------------------
 
@@ -200,16 +268,12 @@ class RlcAm:
             if pdu is None:
                 self.retx_q.popleft()
                 return self.read_pdu(nof_bytes)
-            raw = pack_amd(AmdPdu(**{**pdu.__dict__, "retx": True,
-                                     "poll": True}))
-            if len(raw) <= nof_bytes:
-                self.retx_q.popleft()
-                self.retx_count[sn] = self.retx_count.get(sn, 0) + 1
-                if self.retx_count[sn] >= self.cfg.max_retx:
-                    self.max_retx_reached = True
-                self.t_poll = self.cfg.t_poll_retx_ms
+            so = self.retx_so.get(sn, 0)
+            raw = pack_amd(AmdPdu(**{**pdu.__dict__, "poll": True}))
+            if so == 0 and len(raw) <= nof_bytes:
+                self._retx_done(sn)
                 return raw
-            return None
+            return self._resegment(sn, pdu, so, nof_bytes)
         if (self.sdu_q or self._partial is not None) and not self._window_full() \
                 and nof_bytes >= 4:
             fields: list[bytes] = []
@@ -256,6 +320,52 @@ class RlcAm:
             return pack_amd(pdu)
         return None
 
+    def _retx_done(self, sn: int) -> None:
+        self.retx_q.popleft()
+        self.retx_so.pop(sn, None)
+        self.retx_count[sn] = self.retx_count.get(sn, 0) + 1
+        if self.retx_count[sn] >= self.cfg.max_retx:
+            self.max_retx_reached = True
+        self.t_poll = self.cfg.t_poll_retx_ms
+
+    def _resegment(self, sn: int, pdu: AmdPdu, so: int,
+                   nof_bytes: int) -> bytes | None:
+        """Emit the next AMD PDU segment of `pdu` fitting `nof_bytes`
+        (rlc_am_lte.cc build_retx_pdu resegmentation, TS 36.322 §5.2.1)."""
+        total = len(pdu.data)
+        # original SDU-field boundaries inside the data field
+        bounds = []
+        acc = 0
+        for li in pdu.lis:
+            acc += li
+            bounds.append(acc)
+        chunk = min(total - so, nof_bytes - 4)
+        while chunk > 0:
+            seg_lis_b = [b - so for b in bounds if so < b < so + chunk]
+            hdr_len = 4 + (len(_pack_li_ext(
+                _bounds_to_lis(seg_lis_b, chunk))) if seg_lis_b else 0)
+            if hdr_len + chunk <= nof_bytes:
+                break
+            chunk -= (hdr_len + chunk) - nof_bytes
+        if chunk <= 0:
+            return None
+        end = so + chunk
+        lsf = end == total
+        seg = AmdSegment(
+            sn=sn, so=so, lsf=lsf,
+            fi_first=pdu.fi_first if so == 0 else (so in bounds),
+            fi_last=pdu.fi_last if lsf else (end in bounds),
+            poll=lsf,
+            lis=_bounds_to_lis([b - so for b in bounds if so < b < end],
+                               chunk),
+            data=pdu.data[so:end],
+        )
+        if lsf:
+            self._retx_done(sn)
+        else:
+            self.retx_so[sn] = end
+        return pack_amd_segment(seg)
+
     def handle_status(self, raw: bytes) -> None:
         ack_sn, nacks = unpack_status(raw)
         for sn in nacks:
@@ -293,7 +403,12 @@ class RlcAm:
         if not (raw[0] & 0x80):  # control PDU → TX side
             self.handle_status(raw)
             return
-        pdu = unpack_amd(raw)
+        if raw[0] & 0x40:  # AMD PDU segment (RF = 1)
+            pdu = self._handle_segment(unpack_amd_segment(raw))
+            if pdu is None:
+                return
+        else:
+            pdu = unpack_amd(raw)
         sn = pdu.sn
         if pdu.poll:
             self.status_due = True
@@ -309,6 +424,45 @@ class RlcAm:
             self.vr_r = (self.vr_r + 1) % SN_MOD
         if self.vr_r != self.vr_h and self.t_reord < 0:
             self.t_reord = self.cfg.t_reordering_ms
+
+    def _handle_segment(self, seg: AmdSegment) -> AmdPdu | None:
+        """Collect AMD PDU segments; once [0, total) is covered and LSF
+        seen, reconstruct the original PDU (data + exact FI/LI structure)."""
+        sn = seg.sn
+        if ((sn - self.vr_r) % SN_MOD) >= WINDOW or sn in self.rx_window:
+            return None  # stale / already have the full PDU
+        if seg.poll:
+            self.status_due = True
+        segs = self.rx_segs.setdefault(sn, {})
+        segs[seg.so] = seg
+        # contiguity check from 0, LSF on the final piece
+        pos = 0
+        chain: list[AmdSegment] = []
+        while pos in segs:
+            s = segs[pos]
+            chain.append(s)
+            pos += len(s.data)
+            if s.lsf:
+                break
+        if not chain or not chain[-1].lsf:
+            return None
+        total = pos
+        data = b"".join(s.data for s in chain)
+        bounds: set[int] = set()
+        for s in chain:
+            acc = s.so
+            for li in s.lis:
+                acc += li
+                bounds.add(acc)
+            # segment-edge boundaries: an SDU ending exactly at the edge
+            if s.fi_last and s.so + len(s.data) < total:
+                bounds.add(s.so + len(s.data))
+            if s.fi_first and s.so > 0:
+                bounds.add(s.so)
+        del self.rx_segs[sn]
+        return AmdPdu(sn=sn, fi_first=chain[0].fi_first,
+                      fi_last=chain[-1].fi_last, poll=False,
+                      lis=_bounds_to_lis(sorted(bounds), total), data=data)
 
     def _reassemble(self, pdu: AmdPdu) -> None:
         fields = []

@@ -63,3 +63,36 @@ def test_discard_timer():
     tx.write_sdu(b"b", 0)
     assert tx.tick(2) == []
     assert tx.tick(2) == [0, 1]
+
+
+# --- status reports (TS 36.323 §5.3.1) ---------------------------------------
+
+def test_status_report_roundtrip():
+    from srsran_4g_tpu.stack.pdcp import PdcpConfig, PdcpEntity
+
+    tx = PdcpEntity(PdcpConfig(discard_timer_ms=100))
+    rx = PdcpEntity(PdcpConfig())
+    pdus = [tx.write_sdu(bytes([i]) * 8) for i in range(6)]
+    # deliver 0,1,3,5 — 2 and 4 missing
+    for i in (0, 1, 3, 5):
+        rx.write_pdu(pdus[i])
+    rep = rx.status_report()
+    fms = ((rep[0] & 0x0F) << 8) | rep[1]
+    assert fms == 2
+    acked = tx.handle_status_report(rep)
+    assert acked == [0, 1, 3, 5]
+    # discard timers for acked SDUs are cancelled; 2 and 4 remain
+    assert sorted(tx._discard) == [2, 4]
+
+
+def test_status_report_no_gaps():
+    from srsran_4g_tpu.stack.pdcp import PdcpConfig, PdcpEntity
+
+    tx = PdcpEntity(PdcpConfig(discard_timer_ms=50))
+    rx = PdcpEntity(PdcpConfig())
+    for i in range(4):
+        rx.write_pdu(tx.write_sdu(b"x" * 4))
+    rep = rx.status_report()
+    assert len(rep) == 2  # FMS only, empty bitmap
+    assert tx.handle_status_report(rep) == [0, 1, 2, 3]
+    assert not tx._discard
