@@ -175,6 +175,8 @@ class UeEmmCtx:
     eia: int = 2
     esm_pending: bytes = b""
     session: Optional[SpgwSession] = None
+    mtmsi: int = 0
+    ecm_state: str = "CONNECTED"  # ECM-CONNECTED / IDLE
 
 
 class Mme:
@@ -245,9 +247,16 @@ class Mme:
                 pdu_type == S.PDU_SUCCESSFUL:
             return self._ctx_setup_rsp(msg)
         if proc == S.PROC_UE_CONTEXT_RELEASE:
-            ue = self.ues.pop(msg.mme_ue_s1ap_id, None)
+            # ECM connection released; the EMM context and EPS session
+            # survive (the UE goes idle and returns via service request)
+            ue = self.ues.get(msg.mme_ue_s1ap_id)
             if ue:
-                self.spgw.delete_session(ue.imsi)
+                if ue.state == "DETACHED":
+                    self.spgw.delete_session(ue.imsi)
+                    del self.ues[msg.mme_ue_s1ap_id]
+                else:
+                    ue.ecm_state = "IDLE"
+                    self.events.append("ecm_idle")
             return []
         self.events.append(f"unhandled_s1ap:{proc}")
         return []
@@ -259,7 +268,58 @@ class Mme:
                            enb_ue_s1ap_id=ue.enb_ue_s1ap_id,
                            nas_pdu=nas_pdu))
 
+    def _find_by_mtmsi(self, mtmsi: int) -> Optional[UeEmmCtx]:
+        for ue in self.ues.values():
+            if ue.mtmsi == mtmsi:
+                return ue
+        return None
+
     def _initial_ue(self, msg: S.InitialUeMessage) -> list[bytes]:
+        # short-format service request (ECM-IDLE -> CONNECTED,
+        # mme/nas.cc handle_service_request)
+        if M.is_service_request(msg.nas_pdu):
+            ue = self._find_by_mtmsi(msg.mtmsi)
+            if ue is None or ue.state != "ATTACHED":
+                self.events.append("service_reject")
+                return [S.pack_pdu(
+                    S.PROC_DOWNLINK_NAS_TRANSPORT, S.PDU_INITIATING,
+                    S.NasTransport(enb_ue_s1ap_id=msg.enb_ue_s1ap_id,
+                                   nas_pdu=M.ServiceReject().pack()))]
+            ok, count = M.check_service_request(
+                msg.nas_pdu, ue.k_nas_int, ue.ul_count)
+            if not ok:
+                self.events.append("service_request_mac_fail")
+                return [self._dl_nas(ue, M.ServiceReject().pack())]
+            ue.ul_count = count + 1
+            ue.enb_ue_s1ap_id = msg.enb_ue_s1ap_id
+            ue.ecm_state = "CONNECTED"
+            self.events.append("service_request")
+            k_enb = security.k_enb(ue.k_asme, count)
+            ics = S.InitialContextSetupRequest(
+                mme_ue_s1ap_id=ue.mme_ue_s1ap_id,
+                enb_ue_s1ap_id=msg.enb_ue_s1ap_id,
+                security_key=k_enb,
+                erabs=[S.ErabToSetup(
+                    erab_id=5, qci=9,
+                    gtp_teid=ue.session.spgw_teid if ue.session else 0)])
+            return [S.pack_pdu(S.PROC_INITIAL_CONTEXT_SETUP,
+                               S.PDU_INITIATING, ics)]
+        # protected TAU request as the initial NAS message (idle TAU)
+        if msg.mtmsi and (msg.nas_pdu[0] >> 4) != 0:
+            ue = self._find_by_mtmsi(msg.mtmsi)
+            if ue is not None:
+                ue.enb_ue_s1ap_id = msg.enb_ue_s1ap_id
+                ue.ecm_state = "CONNECTED"
+                plain = self._unprotect(ue, msg.nas_pdu)
+                if plain is not None:
+                    try:
+                        nas = M.parse(plain)
+                    except (ValueError, AssertionError, IndexError):
+                        nas = None
+                    if isinstance(nas, M.TrackingAreaUpdateRequest):
+                        return self._tau_accept(ue)
+            self.events.append("initial_tau_fail")
+            return []
         try:
             nas = M.parse(msg.nas_pdu)
         except (ValueError, AssertionError, IndexError):
@@ -331,6 +391,7 @@ class Mme:
                 eps_bearer_id=5, ip_addr=sess.ue_ip)
             accept = M.AttachAccept(esm_msg=esm.pack(),
                                     guti_mtmsi=self.next_mtmsi)
+            ue.mtmsi = self.next_mtmsi
             self.next_mtmsi += 1
             k_enb = security.k_enb(ue.k_asme, ue.ul_count)
             self.events.append("initial_ctx_setup")
@@ -355,8 +416,24 @@ class Mme:
             self.events.append("detach")
             return []
 
+        if isinstance(nas, M.TrackingAreaUpdateRequest):
+            return self._tau_accept(ue)
+
+        if isinstance(nas, M.TrackingAreaUpdateComplete):
+            self.events.append("tau_complete")
+            return []
+
         self.events.append(f"unhandled_nas:{type(nas).__name__}")
         return []
+
+    def _tau_accept(self, ue: UeEmmCtx) -> list[bytes]:
+        """TAU accept with a fresh GUTI (mme/nas.cc
+        handle_tracking_area_update_request)."""
+        ue.mtmsi = self.next_mtmsi
+        self.next_mtmsi += 1
+        self.events.append("tau_accept")
+        acc = M.TrackingAreaUpdateAccept(guti_mtmsi=ue.mtmsi).pack()
+        return [self._dl_nas(ue, self._protect(ue, acc))]
 
     def _ctx_setup_rsp(self, msg: S.InitialContextSetupResponse) -> list[bytes]:
         ue = self.ues.get(msg.mme_ue_s1ap_id)
@@ -375,8 +452,7 @@ class Mme:
         for mme_id, ue in self.ues.items():
             if ue.imsi == imsi:
                 self.events.append(f"paging {imsi}")
-                mtmsi = self.next_mtmsi - 1  # last assigned GUTI
                 return [S.pack_pdu(S.PROC_PAGING, S.PDU_INITIATING,
                                    S.S1Paging(ue_index=mme_id % 1024,
-                                              mtmsi=mtmsi))]
+                                              mtmsi=ue.mtmsi))]
         return []

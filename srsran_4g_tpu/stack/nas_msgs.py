@@ -38,6 +38,11 @@ MSG_IDENTITY_RESPONSE = 0x56
 MSG_SECURITY_MODE_COMMAND = 0x5D
 MSG_SECURITY_MODE_COMPLETE = 0x5E
 MSG_SERVICE_REQUEST = 0x4D  # has special short header
+MSG_SERVICE_REJECT = 0x4E
+MSG_TAU_REQUEST = 0x48
+MSG_TAU_ACCEPT = 0x49
+MSG_TAU_COMPLETE = 0x4A
+MSG_TAU_REJECT = 0x4B
 MSG_EMM_INFORMATION = 0x61
 
 # ESM message types
@@ -311,6 +316,95 @@ class DetachRequest:
         return cls(switch_off=bool(d[2] & 0x8))
 
 
+@dataclass
+class TrackingAreaUpdateRequest:
+    """TAU request (24.301 §8.2.29, nas.cc send_tracking_area_update_request):
+    EPS update type + old GUTI (M-TMSI)."""
+    update_type: int = 0  # 0 = TA updating
+    guti_mtmsi: int = 0
+
+    def pack(self) -> bytes:
+        return bytes([PD_EMM, MSG_TAU_REQUEST, self.update_type & 0x0F]) + \
+            self.guti_mtmsi.to_bytes(4, "big")
+
+    @classmethod
+    def unpack(cls, d: bytes) -> "TrackingAreaUpdateRequest":
+        return cls(update_type=d[2] & 0x0F,
+                   guti_mtmsi=int.from_bytes(d[3:7], "big"))
+
+
+@dataclass
+class TrackingAreaUpdateAccept:
+    update_type: int = 0
+    t3412_min: int = 54
+    guti_mtmsi: int = 0  # 0 = GUTI unchanged
+
+    def pack(self) -> bytes:
+        return bytes([PD_EMM, MSG_TAU_ACCEPT, self.update_type & 0x0F,
+                      self.t3412_min & 0xFF]) + \
+            self.guti_mtmsi.to_bytes(4, "big")
+
+    @classmethod
+    def unpack(cls, d: bytes) -> "TrackingAreaUpdateAccept":
+        return cls(update_type=d[2] & 0x0F, t3412_min=d[3],
+                   guti_mtmsi=int.from_bytes(d[4:8], "big"))
+
+
+@dataclass
+class TrackingAreaUpdateComplete:
+    def pack(self) -> bytes:
+        return bytes([PD_EMM, MSG_TAU_COMPLETE])
+
+    @classmethod
+    def unpack(cls, d: bytes) -> "TrackingAreaUpdateComplete":
+        return cls()
+
+
+@dataclass
+class ServiceReject:
+    cause: int = 9  # UE identity cannot be derived
+
+    def pack(self) -> bytes:
+        return bytes([PD_EMM, MSG_SERVICE_REJECT, self.cause])
+
+    @classmethod
+    def unpack(cls, d: bytes) -> "ServiceReject":
+        return cls(cause=d[2])
+
+
+# --- service request (24.301 §9.1.2: special short format) -------------------
+
+SEC_SERVICE_REQUEST = 0xC
+
+
+def pack_service_request(k_nas_int: bytes, count: int, ksi: int = 0) -> bytes:
+    """4-byte service request: [0xC|PD][KSI(3)|SEQ(5)][short MAC (2B)].
+    The short MAC is the 2 low bytes of the NAS-MAC over the first two
+    octets (nas.cc gen_service_request / 24.301 annex)."""
+    seq = count & 0x1F
+    head = bytes([(SEC_SERVICE_REQUEST << 4) | PD_EMM,
+                  ((ksi & 0x7) << 5) | seq])
+    mac = security.eia2(k_nas_int, count, 0, NAS_DIR_UL, head)
+    return head + mac[2:4]
+
+
+def is_service_request(data: bytes) -> bool:
+    return len(data) == 4 and (data[0] >> 4) == SEC_SERVICE_REQUEST and \
+        (data[0] & 0x0F) == PD_EMM
+
+
+def check_service_request(data: bytes, k_nas_int: bytes,
+                          count_hint: int) -> tuple[bool, int]:
+    """Validate the short MAC, reconstructing the full count from the
+    5-bit SEQ against count_hint.  Returns (ok, count)."""
+    seq = data[1] & 0x1F
+    count = (count_hint & ~0x1F) | seq
+    if count < count_hint and (count_hint - count) > 16:
+        count += 0x20
+    mac = security.eia2(k_nas_int, count, 0, NAS_DIR_UL, data[:2])
+    return mac[2:4] == data[2:4], count
+
+
 # ---------------------------------------------------------------------------
 # security-protected NAS framing (24.301 9.1/9.5; nas.cc integrity+cipher)
 
@@ -363,6 +457,10 @@ _EMM_TYPES = {
     MSG_SECURITY_MODE_COMMAND: SecurityModeCommand,
     MSG_SECURITY_MODE_COMPLETE: SecurityModeComplete,
     MSG_DETACH_REQUEST: DetachRequest,
+    MSG_TAU_REQUEST: TrackingAreaUpdateRequest,
+    MSG_TAU_ACCEPT: TrackingAreaUpdateAccept,
+    MSG_TAU_COMPLETE: TrackingAreaUpdateComplete,
+    MSG_SERVICE_REJECT: ServiceReject,
 }
 
 

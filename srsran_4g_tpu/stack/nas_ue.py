@@ -53,6 +53,7 @@ class NasUe:
         self.ip_addr: Optional[bytes] = None
         self.guti_mtmsi = 0
         self.eps_bearer_id = 0
+        self.tau_pending = False
         self.events: list[str] = []
 
     # -- outbound helpers --------------------------------------------------
@@ -174,8 +175,41 @@ class NasUe:
             self.events.append("detached")
             return []
 
+        if isinstance(msg, M.TrackingAreaUpdateAccept):
+            if msg.guti_mtmsi:
+                self.guti_mtmsi = msg.guti_mtmsi
+            self.tau_pending = False
+            self.events.append("tau_accept")
+            return [self._protect(M.TrackingAreaUpdateComplete().pack())]
+
+        if isinstance(msg, M.ServiceReject):
+            # cause 9/10: identity not derivable → re-attach (24.301 5.6.1.5)
+            self.state = EMM_DEREGISTERED
+            self.events.append(f"service_reject:{msg.cause}")
+            return []
+
         self.events.append(f"unhandled:{type(msg).__name__}")
         return []
+
+    def start_service_request(self) -> bytes:
+        """ECM-IDLE → CONNECTED: the 4-byte short service request
+        (nas.cc gen_service_request), sent as the RRC establishment's
+        dedicated NAS info."""
+        assert self.state == EMM_REGISTERED and self.k_nas_int
+        pdu = M.pack_service_request(self.k_nas_int, self.ul_count)
+        self.ul_count += 1
+        self.events.append("service_request")
+        return pdu
+
+    def start_tau(self, update_type: int = 0) -> bytes:
+        """Tracking area update request (nas.cc send_tracking_area_update
+        _request), integrity-protected with the current context."""
+        assert self.state == EMM_REGISTERED and self.k_nas_int
+        req = M.TrackingAreaUpdateRequest(
+            update_type=update_type, guti_mtmsi=self.guti_mtmsi)
+        self.tau_pending = True
+        self.events.append("tau_request")
+        return self._protect(req.pack())
 
     def start_detach(self) -> bytes:
         self.state = EMM_DEREGISTERED_INITIATED

@@ -94,6 +94,7 @@ class InitialUeMessage:
     tac: int = 0x0001
     cell_id: int = 0x01
     rrc_cause: int = 3  # mo-Data
+    mtmsi: int = 0      # optional S-TMSI (0 = absent) for service request
 
     def pack_ies(self) -> bytes:
         w = BitWriter()
@@ -101,6 +102,9 @@ class InitialUeMessage:
         w.put(self.tac, 16)
         w.put(self.cell_id, 28)
         w.put(self.rrc_cause, 3)
+        w.put(1 if self.mtmsi else 0, 1)
+        if self.mtmsi:
+            w.put(self.mtmsi, 32)
         pack_varlen_bytes(w, self.nas_pdu)
         return w.to_bytes()
 
@@ -111,8 +115,10 @@ class InitialUeMessage:
         tac = r.get(16)
         cid = r.get(28)
         cause = r.get(3)
+        mtmsi = r.get(32) if r.get(1) else 0
         nas = unpack_varlen_bytes(r)
         return cls(enb_ue_s1ap_id=eid, nas_pdu=nas, tac=tac, cell_id=cid,
+                   mtmsi=mtmsi,
                    rrc_cause=cause)
 
 
