@@ -177,6 +177,14 @@ class UeEmmCtx:
     session: Optional[SpgwSession] = None
     mtmsi: int = 0
     ecm_state: str = "CONNECTED"  # ECM-CONNECTED / IDLE
+    nh: bytes = b""               # next-hop key of the {NH, NCC} pair
+    ncc: int = 0
+    enb_id: int = 0               # serving eNB (multi-eNB S1 routing)
+    ho_source_enb: int = 0
+    ho_source_enb_ue: int = 0
+    ho_target_enb: int = 0
+    ho_target_enb_ue: int = 0
+    ho_target_teid: int = 0
 
 
 class Mme:
@@ -195,6 +203,9 @@ class Mme:
         self.next_mme_id = 1
         self.next_mtmsi = 0x12340000
         self.events: list[str] = []
+        # PDUs addressed to a *different* eNB than the caller of rx_s1ap
+        # (S1 handover fan-out); a multi-eNB harness drains (enb_id, pdu)
+        self.outbox: list[tuple[int, bytes]] = []
 
     # NAS security helpers --------------------------------------------------
 
@@ -229,12 +240,20 @@ class Mme:
 
     # S1AP surface ----------------------------------------------------------
 
-    def rx_s1ap(self, raw: bytes) -> list[bytes]:
+    def rx_s1ap(self, raw: bytes, enb_id: int = 0) -> list[bytes]:
         try:
             proc, pdu_type, msg = S.unpack_pdu(raw)
         except (ValueError, IndexError):
             self.events.append("malformed_s1ap")
             return []
+        if proc == S.PROC_HANDOVER_REQUIRED and pdu_type == S.PDU_INITIATING:
+            return self._ho_required(msg, enb_id)
+        if proc == S.PROC_HANDOVER_REQUEST and pdu_type == S.PDU_SUCCESSFUL:
+            return self._ho_request_ack(msg, enb_id)
+        if proc == S.PROC_ENB_STATUS_TRANSFER:
+            return self._enb_status_transfer(msg)
+        if proc == S.PROC_HANDOVER_NOTIFY:
+            return self._ho_notify(msg)
         if proc == S.PROC_S1_SETUP and pdu_type == S.PDU_INITIATING:
             self.events.append("s1_setup")
             return [S.pack_pdu(S.PROC_S1_SETUP, S.PDU_SUCCESSFUL,
@@ -295,6 +314,7 @@ class Mme:
             ue.ecm_state = "CONNECTED"
             self.events.append("service_request")
             k_enb = security.k_enb(ue.k_asme, count)
+            ue.nh, ue.ncc = k_enb, 0
             ics = S.InitialContextSetupRequest(
                 mme_ue_s1ap_id=ue.mme_ue_s1ap_id,
                 enb_ue_s1ap_id=msg.enb_ue_s1ap_id,
@@ -394,6 +414,7 @@ class Mme:
             ue.mtmsi = self.next_mtmsi
             self.next_mtmsi += 1
             k_enb = security.k_enb(ue.k_asme, ue.ul_count)
+            ue.nh, ue.ncc = k_enb, 0
             self.events.append("initial_ctx_setup")
             ics = S.InitialContextSetupRequest(
                 mme_ue_s1ap_id=ue.mme_ue_s1ap_id,
@@ -434,6 +455,80 @@ class Mme:
         self.events.append("tau_accept")
         acc = M.TrackingAreaUpdateAccept(guti_mtmsi=ue.mtmsi).pack()
         return [self._dl_nas(ue, self._protect(ue, acc))]
+
+
+    # --- S1 handover relay (mme s1ap handover procedures) -------------------
+
+    def _ho_required(self, msg: S.HandoverRequired, enb_id: int) -> list[bytes]:
+        ue = self.ues.get(msg.mme_ue_s1ap_id)
+        if ue is None or ue.state != "ATTACHED":
+            self.events.append("ho_required_unknown_ue")
+            return []
+        ue.ho_source_enb = enb_id
+        ue.ho_source_enb_ue = msg.enb_ue_s1ap_id
+        ue.ho_target_enb = msg.target_enb_id
+        erabs = []
+        if ue.session:
+            erabs.append(S.ErabToSetup(erab_id=5, qci=9,
+                                       gtp_teid=ue.session.spgw_teid))
+        # fresh {NH, NCC} pair for the target's vertical K_eNB* derivation
+        # (33.401 7.2.8.4; mme s1ap handover_request security context)
+        ue.nh = security.nh(ue.k_asme, ue.nh)
+        ue.ncc += 1
+        req = S.HandoverRequest(mme_ue_s1ap_id=ue.mme_ue_s1ap_id,
+                                security_key=ue.nh, ncc=ue.ncc,
+                                erabs=erabs, container=msg.container)
+        self.events.append("ho_request")
+        self.outbox.append((msg.target_enb_id, S.pack_pdu(
+            S.PROC_HANDOVER_REQUEST, S.PDU_INITIATING, req)))
+        return []
+
+    def _ho_request_ack(self, msg: S.HandoverRequestAcknowledge,
+                        enb_id: int) -> list[bytes]:
+        ue = self.ues.get(msg.mme_ue_s1ap_id)
+        if ue is None:
+            return []
+        ue.ho_target_enb_ue = msg.enb_ue_s1ap_id
+        if msg.erabs:
+            ue.ho_target_teid = msg.erabs[0].gtp_teid
+        cmd = S.HandoverCommand(mme_ue_s1ap_id=ue.mme_ue_s1ap_id,
+                                enb_ue_s1ap_id=ue.ho_source_enb_ue,
+                                container=msg.container)
+        self.events.append("ho_command")
+        self.outbox.append((ue.ho_source_enb, S.pack_pdu(
+            S.PROC_HANDOVER_REQUIRED, S.PDU_SUCCESSFUL, cmd)))
+        return []
+
+    def _enb_status_transfer(self, msg: S.StatusTransfer) -> list[bytes]:
+        ue = self.ues.get(msg.mme_ue_s1ap_id)
+        if ue is None:
+            return []
+        fwd = S.StatusTransfer(mme_ue_s1ap_id=ue.mme_ue_s1ap_id,
+                               enb_ue_s1ap_id=ue.ho_target_enb_ue,
+                               bearers=msg.bearers)
+        self.events.append("mme_status_transfer")
+        self.outbox.append((ue.ho_target_enb, S.pack_pdu(
+            S.PROC_MME_STATUS_TRANSFER, S.PDU_INITIATING, fwd)))
+        return []
+
+    def _ho_notify(self, msg: S.HandoverNotify) -> list[bytes]:
+        ue = self.ues.get(msg.mme_ue_s1ap_id)
+        if ue is None:
+            return []
+        # path switch: SPGW now sends DL towards the target eNB
+        if ue.session and ue.ho_target_teid:
+            self.spgw.modify_bearer(ue.imsi, ue.ho_target_teid)
+        self.events.append("path_switch")
+        # release the source eNB context
+        self.outbox.append((ue.ho_source_enb, S.pack_pdu(
+            S.PROC_UE_CONTEXT_RELEASE, S.PDU_INITIATING,
+            S.UeContextRelease(mme_ue_s1ap_id=ue.mme_ue_s1ap_id,
+                               enb_ue_s1ap_id=ue.ho_source_enb_ue,
+                               cause=2))))
+        ue.enb_id = ue.ho_target_enb
+        ue.enb_ue_s1ap_id = msg.enb_ue_s1ap_id
+        ue.ho_source_enb = ue.ho_source_enb_ue = 0
+        return []
 
     def _ctx_setup_rsp(self, msg: S.InitialContextSetupResponse) -> list[bytes]:
         ue = self.ues.get(msg.mme_ue_s1ap_id)

@@ -43,6 +43,20 @@ class PdcpEntity:
         self._rx_counts: set[int] = set()   # received counts >= _rx_base
         self._rx_base = 0                   # all counts below are received
 
+    @property
+    def next_rx_count(self) -> int:
+        """Next in-sequence COUNT expected from the peer (= FMS count)."""
+        return self._rx_base
+
+    def set_counts(self, tx_count: int, rx_next: int) -> None:
+        """Continue COUNTs across handover (36.323 §5.2 re-establishment
+        for AM DRBs; fed by the S1AP eNB/MME Status Transfer)."""
+        self.tx_count = tx_count
+        self._rx_base = rx_next
+        self._rx_counts.clear()
+        self.rx_hfn = rx_next // self.sn_mod
+        self.next_rx_sn = rx_next % self.sn_mod
+
     # --- TX ---------------------------------------------------------------
 
     def _header(self, sn: int) -> bytes:

@@ -49,6 +49,7 @@ class UeCtx:
         self.pending_erabs: list[S.ErabToSetup] = []
         self.erab_teids: dict[int, int] = {}       # erab_id -> eNB DL teid
         self.spgw_teids: dict[int, int] = {}       # erab_id -> SPGW UL teid
+        self.erab_by_lcid: dict[int, int] = {}     # lcid -> erab_id
 
 
 class RrcEnb:
@@ -64,6 +65,8 @@ class RrcEnb:
         self.next_enb_ue_id = 1
         self.next_teid = self.cell.enb_s1u_teid_base
         self.neighbor_pcis: set[int] = set()
+        # PCIs served by OTHER eNBs: S1 handover instead of intra-eNB
+        self.s1_neighbors: dict[int, int] = {}     # pci -> global eNB id
         self.a3_offset_rsrp: int = 60  # report threshold index (36.133)
         self.pcch_tx = lambda pdu: None
         self.events: list[str] = []
@@ -158,6 +161,17 @@ class RrcEnb:
             self._setup_bearers(ue)
         elif isinstance(msg, R.RrcConnectionReconfigurationComplete):
             self.events.append("reconf_complete")
+            if ue.state == "HO_IN":
+                # UE arrived from the source cell (36.413 8.4.3)
+                ue.state = "ACTIVE"
+                self.events.append("ho_complete")
+                self.tx_s1ap(S.pack_pdu(
+                    S.PROC_HANDOVER_NOTIFY, S.PDU_INITIATING,
+                    S.HandoverNotify(mme_ue_s1ap_id=ue.mme_ue_s1ap_id,
+                                     enb_ue_s1ap_id=ue.enb_ue_s1ap_id,
+                                     tac=self.cell.tac,
+                                     cell_id=self.cell.cell_id)))
+                return
             if ue.state == "RECONF_SENT":
                 ue.state = "ACTIVE"
                 erabs = [S.ErabSetupItem(erab_id=eid, gtp_teid=teid)
@@ -214,9 +228,19 @@ class RrcEnb:
         if proc == S.PROC_UE_CONTEXT_RELEASE:
             ue = self.by_enb_id.get(msg.enb_ue_s1ap_id)
             if ue:
-                self._tx_dcch(ue, R.RrcConnectionRelease().pack())
+                if ue.state != "HO_OUT":  # moved UEs are gone already
+                    self._tx_dcch(ue, R.RrcConnectionRelease().pack())
                 self.ues.pop(ue.rnti, None)
                 self.by_enb_id.pop(ue.enb_ue_s1ap_id, None)
+            return
+        if proc == S.PROC_HANDOVER_REQUEST and pdu_type == S.PDU_INITIATING:
+            self._ho_request(msg)  # we are the target eNB
+            return
+        if proc == S.PROC_HANDOVER_REQUIRED and pdu_type == S.PDU_SUCCESSFUL:
+            self._ho_command(msg)  # we are the source eNB
+            return
+        if proc == S.PROC_MME_STATUS_TRANSFER:
+            self._mme_status_transfer(msg)
             return
         self.events.append(f"unhandled_s1ap:{proc}")
 
@@ -234,6 +258,7 @@ class RrcEnb:
                 is_control=False, bearer_id=drb_id + 2,
                 cipher_key=ue.k_up_enc))
             ue.erab_teids[e.erab_id] = self.next_teid
+            ue.erab_by_lcid[lcid] = e.erab_id
             self.next_teid += 1
             if e.nas_pdu:
                 nas_pdu = e.nas_pdu
@@ -245,10 +270,14 @@ class RrcEnb:
 
     def _handle_measurement(self, ue: UeCtx, rep: "R.MeasReport") -> None:
         """A3-style decision: neighbor above serving + offset -> intra-eNB
-        handover via reconfiguration-with-mobilityControlInfo."""
-        if rep.pci == self.cell.pci or rep.pci not in self.neighbor_pcis:
+        handover via reconfiguration-with-mobilityControlInfo, or S1
+        handover when the PCI belongs to another eNB."""
+        if rep.rsrp < self.a3_offset_rsrp or rep.pci == self.cell.pci:
             return
-        if rep.rsrp < self.a3_offset_rsrp:
+        if rep.pci in self.s1_neighbors:
+            self._s1_ho_required(ue, rep.pci)
+            return
+        if rep.pci not in self.neighbor_pcis:
             return
         old_rnti = ue.rnti
         new_rnti = self.next_rnti
@@ -262,6 +291,111 @@ class RrcEnb:
         ue.rnti = new_rnti
         self.events.append(f"ho_cmd {old_rnti:#x}->{new_rnti:#x} "
                            f"pci={rep.pci}")
+
+    # -- S1 handover (rrc_mobility.cc s1_source_ho_st / s1ap.cc HO procs) ---
+
+    def _s1_ho_required(self, ue: UeCtx, target_pci: int) -> None:
+        """Source role: HandoverRequired with the AS-Config container
+        (36.413 8.4.1, rrc_mobility.cc start_s1_tenb_ho)."""
+        as_cfg = R.AsConfig(
+            source_pci=self.cell.pci,
+            drbs=[R.DrbToAddMod(drb_id=eid - 4 if eid >= 5 else eid,
+                                eps_bearer_id=eid, lcid=lcid)
+                  for lcid, eid in ue.erab_by_lcid.items()])
+        ue.state = "HO_PREP"
+        self.events.append(f"s1_ho_required pci={target_pci}")
+        self.tx_s1ap(S.pack_pdu(
+            S.PROC_HANDOVER_REQUIRED, S.PDU_INITIATING,
+            S.HandoverRequired(mme_ue_s1ap_id=ue.mme_ue_s1ap_id,
+                               enb_ue_s1ap_id=ue.enb_ue_s1ap_id,
+                               target_enb_id=self.s1_neighbors[target_pci],
+                               container=as_cfg.pack())))
+
+    def _ho_command(self, msg: "S.HandoverCommand") -> None:
+        """Source role: forward the target-built RRC handover command to
+        the UE (transparently, ciphered with the SOURCE keys) and send
+        the eNB Status Transfer with the DRB PDCP COUNTs."""
+        ue = self.by_enb_id.get(msg.enb_ue_s1ap_id)
+        if ue is None:
+            return
+        self._tx_dcch(ue, msg.container)
+        bearers = [S.BearerStatus(erab_id=ue.erab_by_lcid[lcid],
+                                  ul_count=ent.next_rx_count,
+                                  dl_count=ent.tx_count)
+                   for lcid, ent in ue.drbs.items()]
+        ue.state = "HO_OUT"
+        self.events.append("s1_ho_command_fwd")
+        self.tx_s1ap(S.pack_pdu(
+            S.PROC_ENB_STATUS_TRANSFER, S.PDU_INITIATING,
+            S.StatusTransfer(mme_ue_s1ap_id=ue.mme_ue_s1ap_id,
+                             enb_ue_s1ap_id=ue.enb_ue_s1ap_id,
+                             bearers=bearers)))
+
+    def _ho_request(self, msg: "S.HandoverRequest") -> None:
+        """Target role: admit the UE, derive K_eNB* vertically from the
+        MME's {NH, NCC}, rebuild the bearers from the AS-Config, and
+        answer with the RRC handover command as the target→source
+        container (36.413 8.4.2, rrc_mobility.cc handle_ho_req)."""
+        as_cfg = R.AsConfig.unpack(msg.container)
+        rnti = self.next_rnti
+        self.next_rnti += 1
+        ue = UeCtx(rnti, self.next_enb_ue_id)
+        self.next_enb_ue_id += 1
+        self.ues[rnti] = ue
+        self.by_enb_id[ue.enb_ue_s1ap_id] = ue
+        ue.mme_ue_s1ap_id = msg.mme_ue_s1ap_id
+        ue.k_enb = security.k_enb_star(msg.security_key, self.cell.pci)
+        ue.k_rrc_int = security.k_rrc_up(ue.k_enb, 2, "rrc_int")
+        ue.k_rrc_enc = security.k_rrc_up(ue.k_enb, 2, "rrc_enc")
+        ue.k_up_enc = security.k_rrc_up(ue.k_enb, 2, "up_enc")
+        # fresh SRB1 under the new keys; the UE's ReconfigurationComplete
+        # arrives here already integrity-protected + ciphered
+        ue.srb1 = PdcpEntity(PdcpConfig(is_control=True, bearer_id=1,
+                                        integrity_key=ue.k_rrc_int,
+                                        cipher_key=ue.k_rrc_enc))
+        admitted = []
+        by_eps = {d.eps_bearer_id: d for d in as_cfg.drbs}
+        for e in msg.erabs:
+            drb = by_eps.get(e.erab_id)
+            if drb is None:
+                continue
+            ue.drbs[drb.lcid] = PdcpEntity(PdcpConfig(
+                is_control=False, bearer_id=drb.drb_id + 2,
+                cipher_key=ue.k_up_enc))
+            ue.erab_teids[e.erab_id] = self.next_teid
+            ue.erab_by_lcid[drb.lcid] = e.erab_id
+            ue.spgw_teids[e.erab_id] = e.gtp_teid
+            admitted.append(S.ErabSetupItem(erab_id=e.erab_id,
+                                            gtp_teid=self.next_teid))
+            self.next_teid += 1
+        ho_cmd = R.RrcConnectionReconfiguration(
+            drbs=as_cfg.drbs,
+            mobility=R.MobilityControlInfo(target_pci=self.cell.pci,
+                                           new_c_rnti=rnti,
+                                           ncc=msg.ncc)).pack()
+        ue.state = "HO_IN"
+        self.events.append("s1_ho_request_ack")
+        self.tx_s1ap(S.pack_pdu(
+            S.PROC_HANDOVER_REQUEST, S.PDU_SUCCESSFUL,
+            S.HandoverRequestAcknowledge(
+                mme_ue_s1ap_id=msg.mme_ue_s1ap_id,
+                enb_ue_s1ap_id=ue.enb_ue_s1ap_id,
+                erabs=admitted, container=ho_cmd)))
+
+    def _mme_status_transfer(self, msg: "S.StatusTransfer") -> None:
+        """Target role: continue the DRB PDCP COUNTs where the source
+        left off (36.413 8.4.5)."""
+        ue = self.by_enb_id.get(msg.enb_ue_s1ap_id)
+        if ue is None:
+            return
+        lcid_by_erab = {eid: lcid for lcid, eid in ue.erab_by_lcid.items()}
+        for b in msg.bearers:
+            lcid = lcid_by_erab.get(b.erab_id)
+            if lcid is not None:
+                # our DL continues the source's DL; their UL is our RX
+                ue.drbs[lcid].set_counts(tx_count=b.dl_count,
+                                         rx_next=b.ul_count)
+        self.events.append("s1_ho_counts_set")
 
     # -- paging (rrc_paging.cc) --------------------------------------------
 

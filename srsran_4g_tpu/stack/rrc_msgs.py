@@ -346,6 +346,38 @@ class MobilityControlInfo:
     target_pci: int = 0
     new_c_rnti: int = 0
     t304_ms: int = 1000
+    ncc: int = 0  # nextHopChainingCount: >0 -> vertical K_eNB* re-key
+
+
+@dataclass
+class AsConfig:
+    """Source→target transparent container (36.331 10.2.2 AS-Config,
+    reduced): the source cell and DRB configuration the target eNB
+    rebuilds at an S1 handover (srsenb rrc_mobility.cc
+    fill_mobility_reconf_common / HandoverPreparationInformation)."""
+    source_pci: int = 0
+    drbs: list[DrbToAddMod] = field(default_factory=list)
+
+    def pack(self) -> bytes:
+        w = BitWriter()
+        w.put(self.source_pci, 9)
+        pack_constrained_int(w, len(self.drbs), 0, 11)
+        for d in self.drbs:
+            pack_constrained_int(w, d.drb_id, 1, 32)
+            pack_constrained_int(w, d.eps_bearer_id, 0, 15)
+            pack_constrained_int(w, d.lcid, 3, 10)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack(cls, data: bytes) -> "AsConfig":
+        r = BitReader(data)
+        out = cls(source_pci=r.get(9))
+        for _ in range(unpack_constrained_int(r, 0, 11)):
+            out.drbs.append(DrbToAddMod(
+                drb_id=unpack_constrained_int(r, 1, 32),
+                eps_bearer_id=unpack_constrained_int(r, 0, 15),
+                lcid=unpack_constrained_int(r, 3, 10)))
+        return out
 
 
 @dataclass
@@ -372,6 +404,7 @@ class RrcConnectionReconfiguration:
             w.put(self.mobility.target_pci, 9)
             w.put(self.mobility.new_c_rnti, 16)
             pack_constrained_int(w, self.mobility.t304_ms, 0, 8000)
+            w.put(self.mobility.ncc, 3)
         return w.to_bytes()
 
 
@@ -500,7 +533,8 @@ def unpack_dl_dcch(data: bytes):
         if r.get_bool():
             mob = MobilityControlInfo(
                 target_pci=r.get(9), new_c_rnti=r.get(16),
-                t304_ms=unpack_constrained_int(r, 0, 8000))
+                t304_ms=unpack_constrained_int(r, 0, 8000),
+                ncc=r.get(3))
         return RrcConnectionReconfiguration(drbs=drbs, nas_pdu=nas,
                                             meas_config=meas, mobility=mob)
     if t == DL_DCCH_DL_INFO_TRANSFER:

@@ -56,6 +56,8 @@ class RrcUe:
         self.k_rrc_int: Optional[bytes] = None
         self.k_rrc_enc: Optional[bytes] = None
         self.k_up_enc: Optional[bytes] = None
+        self.nh: Optional[bytes] = None  # {NH, NCC} pair (33.401 7.2.8)
+        self.ncc = 0
         # RLF machinery
         self.rlf = rlf_cfg or RlfConfig()
         self.n310_count = 0
@@ -140,19 +142,31 @@ class RrcUe:
             srb1.cfg.cipher_key = self.k_rrc_enc
             self.events.append("security_activated")
         elif isinstance(msg, R.RrcConnectionReconfiguration):
+            rekeyed = False
             if msg.mobility is not None:
                 # handover command (36.331 5.3.5.4): retune to the target
                 # cell, apply the new C-RNTI, T304 guards the RA there
                 self.phys_cell_id = msg.mobility.target_pci
                 self.c_rnti = msg.mobility.new_c_rnti
+                if msg.mobility.ncc > self.ncc:
+                    self._vertical_rekey(msg.mobility.ncc,
+                                         msg.mobility.target_pci)
+                    rekeyed = True
                 self.events.append(
                     f"ho_to_pci{msg.mobility.target_pci}")
             for drb in msg.drbs:
-                self.drb_lcids.append(drb.lcid)
-                self.drb_pdcp[drb.lcid] = PdcpEntity(PdcpConfig(
+                old = self.drb_pdcp.get(drb.lcid)
+                ent = PdcpEntity(PdcpConfig(
                     is_control=False, bearer_id=drb.drb_id + 2,
                     cipher_key=self.k_up_enc))
-                self.events.append(f"drb{drb.drb_id}_setup")
+                if rekeyed and old is not None:
+                    # handover: COUNTs continue under the new key
+                    ent.set_counts(old.tx_count, old.next_rx_count)
+                else:
+                    self.events.append(f"drb{drb.drb_id}_setup")
+                if drb.lcid not in self.drb_lcids:
+                    self.drb_lcids.append(drb.lcid)
+                self.drb_pdcp[drb.lcid] = ent
             if msg.nas_pdu:
                 for ul in self.nas.rx(msg.nas_pdu):
                     self.send_ul_info_transfer(ul)
@@ -164,6 +178,25 @@ class RrcUe:
         elif isinstance(msg, R.RrcConnectionRelease):
             self.state = RRC_IDLE
             self.events.append("released")
+
+    def _vertical_rekey(self, ncc: int, target_pci: int) -> None:
+        """S1 handover key change (33.401 7.2.8.4): step the NH chain up
+        to the commanded NCC, bind K_eNB* to the target cell, re-derive
+        the AS keys, and restart SRB1 PDCP under them — the
+        ReconfigurationComplete goes to the TARGET with the new keys."""
+        k_asme = self.nas.usim.get_k_asme()
+        nh = self.nh if self.nh is not None else self.nas.get_k_enb()
+        for _ in range(ncc - self.ncc):
+            nh = security.nh(k_asme, nh)
+        self.nh, self.ncc = nh, ncc
+        k_enb = security.k_enb_star(nh, target_pci)
+        self.k_rrc_int = security.k_rrc_up(k_enb, 2, "rrc_int")
+        self.k_rrc_enc = security.k_rrc_up(k_enb, 2, "rrc_enc")
+        self.k_up_enc = security.k_rrc_up(k_enb, 2, "up_enc")
+        self.pdcp[SRB1_LCID] = PdcpEntity(PdcpConfig(
+            is_control=True, bearer_id=SRB1_LCID,
+            integrity_key=self.k_rrc_int, cipher_key=self.k_rrc_enc))
+        self.events.append(f"rekey ncc={ncc}")
 
     def rx_pcch(self, pdu: bytes) -> bool:
         """Paging reception (36.331 5.3.2): True if we were paged."""

@@ -274,10 +274,197 @@ class UeContextRelease:
                    cause=r.get(8))
 
 
+# --- S1 handover (36.413 8.4, srsenb rrc_mobility.cc S1 path) ----------------
+
+PROC_ENB_STATUS_TRANSFER = 24
+PROC_MME_STATUS_TRANSFER = 25
+PROC_HANDOVER_NOTIFY = 2
+
+
+@dataclass
+class HandoverRequired:
+    """Source eNB → MME: target + source-to-target transparent container
+    (the RRC/AS context the target needs)."""
+    mme_ue_s1ap_id: int = 0
+    enb_ue_s1ap_id: int = 0
+    target_enb_id: int = 0
+    cause: int = 0  # handover-desirable-for-radio-reasons
+    container: bytes = b""
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.mme_ue_s1ap_id, 32)
+        w.put(self.enb_ue_s1ap_id, 24)
+        w.put(self.target_enb_id, 28)
+        w.put(self.cause, 8)
+        pack_varlen_bytes(w, self.container)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "HandoverRequired":
+        r = BitReader(d)
+        return cls(mme_ue_s1ap_id=r.get(32), enb_ue_s1ap_id=r.get(24),
+                   target_enb_id=r.get(28), cause=r.get(8),
+                   container=unpack_varlen_bytes(r))
+
+
+@dataclass
+class HandoverRequest:
+    """MME → target eNB: E-RABs to set up + fresh security key +
+    the source's transparent container."""
+    mme_ue_s1ap_id: int = 0
+    security_key: bytes = b"\x00" * 32  # NH (vertical derivation, 33.401)
+    ncc: int = 0
+    erabs: list[ErabToSetup] = field(default_factory=list)
+    container: bytes = b""
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.mme_ue_s1ap_id, 32)
+        w.put_bytes(self.security_key)
+        w.put(self.ncc, 3)
+        w.put(len(self.erabs), 4)
+        for e in self.erabs:
+            w.put(e.erab_id, 4)
+            w.put(e.qci, 8)
+            w.put(e.gtp_teid, 32)
+        pack_varlen_bytes(w, self.container)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "HandoverRequest":
+        r = BitReader(d)
+        out = cls(mme_ue_s1ap_id=r.get(32), security_key=r.get_bytes(32),
+                  ncc=r.get(3))
+        for _ in range(r.get(4)):
+            out.erabs.append(ErabToSetup(erab_id=r.get(4), qci=r.get(8),
+                                         gtp_teid=r.get(32)))
+        out.container = unpack_varlen_bytes(r)
+        return out
+
+
+@dataclass
+class HandoverRequestAcknowledge:
+    """Target eNB → MME: admitted E-RABs (target DL TEIDs) + the
+    target-to-source container (the RRC handover command)."""
+    mme_ue_s1ap_id: int = 0
+    enb_ue_s1ap_id: int = 0  # target's UE id
+    erabs: list[ErabSetupItem] = field(default_factory=list)
+    container: bytes = b""
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.mme_ue_s1ap_id, 32)
+        w.put(self.enb_ue_s1ap_id, 24)
+        w.put(len(self.erabs), 4)
+        for e in self.erabs:
+            w.put(e.erab_id, 4)
+            w.put(e.gtp_teid, 32)
+        pack_varlen_bytes(w, self.container)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "HandoverRequestAcknowledge":
+        r = BitReader(d)
+        out = cls(mme_ue_s1ap_id=r.get(32), enb_ue_s1ap_id=r.get(24))
+        for _ in range(r.get(4)):
+            out.erabs.append(ErabSetupItem(erab_id=r.get(4),
+                                           gtp_teid=r.get(32)))
+        out.container = unpack_varlen_bytes(r)
+        return out
+
+
+@dataclass
+class HandoverCommand:
+    """MME → source eNB: the target's RRC container to forward to the UE."""
+    mme_ue_s1ap_id: int = 0
+    enb_ue_s1ap_id: int = 0  # source's UE id
+    container: bytes = b""
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.mme_ue_s1ap_id, 32)
+        w.put(self.enb_ue_s1ap_id, 24)
+        pack_varlen_bytes(w, self.container)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "HandoverCommand":
+        r = BitReader(d)
+        return cls(mme_ue_s1ap_id=r.get(32), enb_ue_s1ap_id=r.get(24),
+                   container=unpack_varlen_bytes(r))
+
+
+@dataclass
+class BearerStatus:
+    erab_id: int = 5
+    ul_count: int = 0  # PDCP COUNT expected next from the UE
+    dl_count: int = 0  # PDCP COUNT to use next towards the UE
+
+
+@dataclass
+class StatusTransfer:
+    """eNB Status Transfer (source→MME) / MME Status Transfer (MME→target):
+    per-bearer PDCP COUNT continuation (36.413 8.4.4/8.4.5)."""
+    mme_ue_s1ap_id: int = 0
+    enb_ue_s1ap_id: int = 0
+    bearers: list[BearerStatus] = field(default_factory=list)
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.mme_ue_s1ap_id, 32)
+        w.put(self.enb_ue_s1ap_id, 24)
+        w.put(len(self.bearers), 4)
+        for b in self.bearers:
+            w.put(b.erab_id, 4)
+            w.put(b.ul_count, 32)
+            w.put(b.dl_count, 32)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "StatusTransfer":
+        r = BitReader(d)
+        out = cls(mme_ue_s1ap_id=r.get(32), enb_ue_s1ap_id=r.get(24))
+        for _ in range(r.get(4)):
+            out.bearers.append(BearerStatus(
+                erab_id=r.get(4), ul_count=r.get(32), dl_count=r.get(32)))
+        return out
+
+
+@dataclass
+class HandoverNotify:
+    """Target eNB → MME: the UE has arrived; triggers the path switch."""
+    mme_ue_s1ap_id: int = 0
+    enb_ue_s1ap_id: int = 0  # target's UE id
+    tac: int = 0x0001
+    cell_id: int = 0x01
+
+    def pack_ies(self) -> bytes:
+        w = BitWriter()
+        w.put(self.mme_ue_s1ap_id, 32)
+        w.put(self.enb_ue_s1ap_id, 24)
+        w.put(self.tac, 16)
+        w.put(self.cell_id, 28)
+        return w.to_bytes()
+
+    @classmethod
+    def unpack_ies(cls, d: bytes) -> "HandoverNotify":
+        r = BitReader(d)
+        return cls(mme_ue_s1ap_id=r.get(32), enb_ue_s1ap_id=r.get(24),
+                   tac=r.get(16), cell_id=r.get(28))
+
+
 # --------------------------------------------------------------------------
 # PDU framing
 
 _IES_CODECS = {
+    (PROC_HANDOVER_REQUIRED, PDU_INITIATING): HandoverRequired,
+    (PROC_HANDOVER_REQUEST, PDU_INITIATING): HandoverRequest,
+    (PROC_HANDOVER_REQUEST, PDU_SUCCESSFUL): HandoverRequestAcknowledge,
+    (PROC_HANDOVER_REQUIRED, PDU_SUCCESSFUL): HandoverCommand,
+    (PROC_ENB_STATUS_TRANSFER, PDU_INITIATING): StatusTransfer,
+    (PROC_MME_STATUS_TRANSFER, PDU_INITIATING): StatusTransfer,
+    (PROC_HANDOVER_NOTIFY, PDU_INITIATING): HandoverNotify,
     (PROC_S1_SETUP, PDU_INITIATING): S1SetupRequest,
     (PROC_S1_SETUP, PDU_SUCCESSFUL): S1SetupResponse,
     (PROC_INITIAL_UE_MESSAGE, PDU_INITIATING): InitialUeMessage,

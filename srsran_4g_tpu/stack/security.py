@@ -38,6 +38,20 @@ def k_enb(k_asme_: bytes, ul_nas_count: int) -> bytes:
     return _kdf(k_asme_, 0x11, struct.pack(">I", ul_nas_count))
 
 
+def nh(k_asme_: bytes, sync_input: bytes) -> bytes:
+    """Next-hop key for vertical K_eNB* derivation at handover
+    (33.401 A.4); the first NH chains from the initial K_eNB, later
+    ones from the previous NH."""
+    return _kdf(k_asme_, 0x12, sync_input)
+
+
+def k_enb_star(key: bytes, pci: int, earfcn_dl: int = 3400) -> bytes:
+    """K_eNB* bound to the target cell (33.401 A.5); `key` is NH for
+    vertical derivation or the current K_eNB for horizontal."""
+    return _kdf(key, 0x13, struct.pack(">H", pci),
+                struct.pack(">I", earfcn_dl))
+
+
 def k_nas(k_asme_: bytes, alg_id: int, integrity: bool) -> bytes:
     dist = b"\x02" if integrity else b"\x01"
     return _kdf(k_asme_, 0x15, dist, bytes([alg_id]))[16:]
