@@ -2,8 +2,8 @@
 
 Counterpart of the reference's `lib/src/pdcp/pdcp_entity_lte.cc`: data-plane
 (DRB, 12-bit SN) and control-plane (SRB, 5-bit SN) PDU formats, COUNT
-maintenance with hyper-frame numbers, ciphering (security.eea*) and
-integrity (security.eia2) hooks, duplicate/reorder handling for RLC UM
+maintenance with hyper-frame numbers, ciphering and
+integrity hooks with 33.401 algorithm-id dispatch (EEA0-3/EIA1-3), duplicate/reorder handling for RLC UM
 delivery, per-SDU discard timers (pdcp_entity_lte.h:91), and status
 reports (pdcp_entity_lte.h:145, TS 36.323 §5.3.1): FMS + received-SN
 bitmap control PDUs exchanged at re-establishment of AM DRBs, with the
@@ -27,6 +27,8 @@ class PdcpConfig:
     discard_timer_ms: int = 0  # 0 = off
     cipher_key: bytes | None = None
     integrity_key: bytes | None = None
+    cipher_algo: int = 2     # 33.401 EEA id: 0=null, 1=SNOW3G, 2=AES, 3=ZUC
+    integrity_algo: int = 2  # EIA id: 1=SNOW3G, 2=AES, 3=ZUC
 
 
 class PdcpEntity:
@@ -71,13 +73,15 @@ class PdcpEntity:
         payload = sdu
         mac = b""
         if self.cfg.is_control and self.cfg.integrity_key:
-            mac = security.eia2(self.cfg.integrity_key, count,
-                                self.cfg.bearer_id - 1, direction,
-                                self._header(sn) + sdu)
+            mac = security.integrity(self.cfg.integrity_algo,
+                                     self.cfg.integrity_key, count,
+                                     self.cfg.bearer_id - 1, direction,
+                                     self._header(sn) + sdu)
         if self.cfg.cipher_key:
-            payload = security.eea2(self.cfg.cipher_key, count,
-                                    self.cfg.bearer_id - 1, direction,
-                                    sdu + mac)
+            payload = security.cipher(self.cfg.cipher_algo,
+                                      self.cfg.cipher_key, count,
+                                      self.cfg.bearer_id - 1, direction,
+                                      sdu + mac)
         else:
             payload = sdu + mac
         if self.cfg.discard_timer_ms:
@@ -103,13 +107,15 @@ class PdcpEntity:
         count = hfn * self.sn_mod + sn
 
         if self.cfg.cipher_key:
-            body = security.eea2(self.cfg.cipher_key, count,
-                                 self.cfg.bearer_id - 1, direction, body)
+            body = security.cipher(self.cfg.cipher_algo,
+                                   self.cfg.cipher_key, count,
+                                   self.cfg.bearer_id - 1, direction, body)
         if self.cfg.is_control and self.cfg.integrity_key:
             sdu, mac = body[:-4], body[-4:]
-            expect = security.eia2(self.cfg.integrity_key, count,
-                                   self.cfg.bearer_id - 1, direction,
-                                   pdu[:1] + sdu)
+            expect = security.integrity(self.cfg.integrity_algo,
+                                        self.cfg.integrity_key, count,
+                                        self.cfg.bearer_id - 1, direction,
+                                        pdu[:1] + sdu)
             if mac != expect:
                 self.integrity_failures += 1
                 return

@@ -6,8 +6,10 @@ EEA0/EEA2 ciphering (AES-CTR), EIA2 integrity (AES-CMAC), the HMAC-SHA256
 KDF family (K_ASME → K_eNB → K_RRCint/K_RRCenc/K_UPenc, NH chaining), and
 Milenage f1-f5 for AKA vector generation (the HSS/USIM side).
 
-SNOW3G (EEA1/EIA1) and ZUC (EEA3/EIA3) are excluded this round — the
-AES set is what the reference E2E tests exercise by default.
+SNOW3G (EEA1/EIA1) and ZUC (EEA3/EIA3) live in `snow3g_zuc.py`; the
+`cipher()`/`integrity()` dispatchers below select by 33.401 algorithm id
+(the reference's `cipher_algorithm_id_t`/`integrity_algorithm_id_t` in
+`lib/include/srsran/common/security.h`).
 """
 
 from __future__ import annotations
@@ -95,6 +97,29 @@ def eia2(key: bytes, count: int, bearer: int, direction: int,
     c = CMAC(algorithms.AES(key))
     c.update(m)
     return c.finalize()[:4]
+
+
+# --- algorithm-id dispatch (33.401: 0=EEA0/EIA0, 1=SNOW3G, 2=AES, 3=ZUC) ------
+
+
+def cipher(alg_id: int, key: bytes, count: int, bearer: int,
+           direction: int, data: bytes) -> bytes:
+    if alg_id == 0:
+        return data
+    if alg_id == 2:
+        return eea2(key, count, bearer, direction, data)
+    from srsran_4g_tpu.stack import snow3g_zuc
+    fn = {1: snow3g_zuc.eea1, 3: snow3g_zuc.eea3}[alg_id]
+    return fn(key, count, bearer, direction, data)
+
+
+def integrity(alg_id: int, key: bytes, count: int, bearer: int,
+              direction: int, data: bytes) -> bytes:
+    if alg_id == 2:
+        return eia2(key, count, bearer, direction, data)
+    from srsran_4g_tpu.stack import snow3g_zuc
+    fn = {1: snow3g_zuc.eia1, 3: snow3g_zuc.eia3}[alg_id]
+    return fn(key, count, bearer, direction, data)
 
 
 # --- Milenage (TS 35.206) ----------------------------------------------------
