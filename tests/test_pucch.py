@@ -68,3 +68,54 @@ def test_pucch_prb_hopping():
     p0 = pucch.pucch_prb(cfg, 0)
     p1 = pucch.pucch_prb(cfg, 1)
     assert {p0, p1} == {0, CELL.nof_prb - 1}
+
+
+@pytest.mark.parametrize("nof_ack", [1, 2])
+def test_pucch_format2ab_roundtrip(nof_ack):
+    """Format 2a/2b: CQI + ACK on the second DMRS symbol, through AWGN."""
+    cfg = pucch.PucchConfig(cell=CELL, subframe=2, n_pucch=5, rnti=0x4601)
+    rng = np.random.default_rng(7 + nof_ack)
+    cqi = rng.integers(0, 2, size=(6, 6)).astype(np.int8)
+    ack = rng.integers(0, 2, size=(6, nof_ack)).astype(np.int8)
+    tx = pucch.encode_format2(cfg, cqi, ack_bits=ack)
+    rx = awgn(jax.random.PRNGKey(1), tx, snr_to_noise_var(10.0))
+    out = pucch.decode_format2(cfg, rx, nof_bits=6, nof_ack=nof_ack)
+    np.testing.assert_array_equal(np.asarray(out["bits"]), cqi)
+    np.testing.assert_array_equal(np.asarray(out["ack_bits"]), ack)
+
+
+@pytest.mark.parametrize("n_ack", [3, 7, 11])
+def test_pucch_format3_roundtrip(n_ack):
+    """Format 3: up to 11 ACK bits, block-spread DFT-S-OFDM, through AWGN."""
+    cfg = pucch.PucchConfig(cell=CELL, subframe=4, n_pucch=7, rnti=0x4601)
+    rng = np.random.default_rng(n_ack)
+    ack = rng.integers(0, 2, size=(5, n_ack)).astype(np.int8)
+    tx = pucch.encode_format3(cfg, ack)
+    rx = awgn(jax.random.PRNGKey(2), tx, snr_to_noise_var(6.0))
+    out = pucch.decode_format3(cfg, rx, nof_bits=n_ack)
+    np.testing.assert_array_equal(np.asarray(out["bits"]), ack)
+
+
+def test_pucch_format3_cover_orthogonality():
+    """Two UEs on the same format-3 PRB with different n_oc separate."""
+    rng = np.random.default_rng(3)
+    acks = [rng.integers(0, 2, size=(1, 4)).astype(np.int8) for _ in range(2)]
+    cfgs = [pucch.PucchConfig(cell=CELL, subframe=1, n_pucch=n, rnti=100 + n)
+            for n in (0, 1)]  # same PRB (m=0), n_oc 0 vs 1
+    tx = pucch.encode_format3(cfgs[0], acks[0]) + pucch.encode_format3(
+        cfgs[1], acks[1])
+    for cfg, ack in zip(cfgs, acks):
+        out = pucch.decode_format3(cfg, tx, nof_bits=4)
+        np.testing.assert_array_equal(np.asarray(out["bits"]), ack)
+
+
+def test_pucch_format2_scrambling_rnti():
+    """Different RNTIs decorrelate: decoding with the wrong RNTI fails."""
+    cfg_a = pucch.PucchConfig(cell=CELL, subframe=0, n_pucch=2, rnti=10)
+    cfg_b = pucch.PucchConfig(cell=CELL, subframe=0, n_pucch=2, rnti=11)
+    cqi = np.ones((1, 8), np.int8)
+    tx = pucch.encode_format2(cfg_a, jax.numpy.asarray(cqi))
+    ok = pucch.decode_format2(cfg_a, tx, nof_bits=8)
+    bad = pucch.decode_format2(cfg_b, tx, nof_bits=8)
+    np.testing.assert_array_equal(np.asarray(ok["bits"]), cqi)
+    assert float(ok["metric"][0]) > float(bad["metric"][0])
