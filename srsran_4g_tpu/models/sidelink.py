@@ -174,3 +174,198 @@ class SciFormat0:
         return cls(freq_hopping=r.get_bool(), riv=r.get(riv_bits),
                    trp=r.get(7), mcs=r.get(5), timing_advance=r.get(11),
                    group_dst_id=r.get(8))
+
+
+# --------------------------------------------------------------------------
+# PSCCH / PSSCH data channels, sidelink TM1/2 normal CP (36.211 §9.3-9.4)
+#
+# Counterpart of `lib/src/phy/phch/pscch.c` / `pssch.c`: 14-symbol subframe
+# with DMRS on l = {3, 10}; the 12 remaining symbols carry data, the last
+# one (l = 13) is a guard — mapped in the coded stream but blanked at TX
+# and fed zero LLRs at RX (pssch.c:252 "last OFDM symbol is used in channel
+# processing but not transmitted").  Both channels are SC-FDMA
+# (DFT-precoded) with the PUSCH time-first channel interleaver.
+
+SL_DMRS_SYMS = (3, 10)
+SL_DATA_SYMS = tuple(l for l in range(14) if l not in SL_DMRS_SYMS)
+PSCCH_SCRAMBLING_SEED = 510  # 36.211 §9.4.1
+SCI_CRC_LEN = 16
+
+
+def _sl_interleave_perm(e: int, qm: int) -> np.ndarray:
+    """PUSCH-style time-first interleaver over the 12 data symbols
+    (`srsran_sl_ulsch_interleave`)."""
+    c_mux = len(SL_DATA_SYMS)
+    r = e // (c_mux * qm)
+    return np.arange(e).reshape(r, c_mux, qm).transpose(1, 0, 2).reshape(-1)
+
+
+def _sl_dmrs(u: int, m_sc: int) -> np.ndarray:
+    from srsran_4g_tpu.models.refsignal_ul import base_sequence
+    return base_sequence(u, 0, m_sc).astype(np.complex64)
+
+
+def _sl_map(tx_syms: jnp.ndarray, dmrs: np.ndarray, nre_total: int,
+            prb_start: int, nof_prb: int) -> jnp.ndarray:
+    """(B, 12, m_sc) data + DMRS → (B, 14, nre_total) grid slice."""
+    b = tx_syms.shape[0]
+    m_sc = nof_prb * 12
+    grid = jnp.zeros((b, 14, nre_total), jnp.complex64)
+    ks = jnp.arange(prb_start * 12, prb_start * 12 + m_sc)
+    for i, l in enumerate(SL_DATA_SYMS[:-1]):  # last data symbol blanked
+        grid = grid.at[:, l, ks].set(tx_syms[:, i])
+    for l in SL_DMRS_SYMS:
+        grid = grid.at[:, l, ks].set(jnp.asarray(dmrs)[None])
+    return grid
+
+
+def _sl_equalize(rx_grid: jnp.ndarray, dmrs: np.ndarray, prb_start: int,
+                 nof_prb: int, noise_var: float) -> jnp.ndarray:
+    """LS estimate from the two DMRS symbols + MMSE → (B, 12, m_sc)
+    equalized data symbols (last one zeroed)."""
+    m_sc = nof_prb * 12
+    ks = jnp.arange(prb_start * 12, prb_start * 12 + m_sc)
+    d = jnp.asarray(dmrs)
+    h = (rx_grid[:, SL_DMRS_SYMS[0]][..., ks] * jnp.conj(d)
+         + rx_grid[:, SL_DMRS_SYMS[1]][..., ks] * jnp.conj(d)) / 2
+    eq = []
+    for l in SL_DATA_SYMS[:-1]:
+        y = rx_grid[:, l][..., ks]
+        eq.append(y * jnp.conj(h) / (jnp.abs(h) ** 2 + noise_var))
+    eq.append(jnp.zeros_like(eq[0]))
+    return jnp.stack(eq, axis=1)
+
+
+@dataclass(frozen=True)
+class PscchConfig:
+    nof_prb_cell: int = 50   # SL carrier bandwidth (grid width)
+    nof_prb_sl: int = 100    # bandwidth signalled inside SCI (RIV size)
+    prb_start: int = 0
+    nof_prb: int = 1         # TM1/2: PSCCH is one PRB
+
+    @property
+    def sci_len(self) -> int:
+        import math
+        return (1 + math.ceil(math.log2(self.nof_prb_sl *
+                                        (self.nof_prb_sl + 1) / 2))
+                + 7 + 5 + 11 + 8)
+
+    @property
+    def e_bits(self) -> int:
+        return len(SL_DATA_SYMS) * 12 * self.nof_prb * 2  # QPSK
+
+
+def pscch_encode(cfg: PscchConfig, sci_bits: jnp.ndarray) -> jnp.ndarray:
+    """(B, sci_len) SCI bits → (B, 14, nre) grid slice (`pscch.c:199`)."""
+    crc = crc_ops.crc_compute(sci_bits, "16")
+    d = convcode.conv_encode(jnp.concatenate([sci_bits, crc], axis=-1))
+    e = rate_match.conv_rate_match(d, cfg.e_bits)
+    e = e[..., jnp.asarray(_sl_interleave_perm(cfg.e_bits, 2))]
+    scr = sequence.gold_sequence_np(PSCCH_SCRAMBLING_SEED, cfg.e_bits)
+    from srsran_4g_tpu.ops.scrambling import scramble_bits
+    from srsran_4g_tpu.models.pusch import transform_precode
+    syms = modem.modulate("qpsk", scramble_bits(e, jnp.asarray(scr)))
+    b = sci_bits.shape[0]
+    syms = transform_precode(
+        syms.reshape(b, len(SL_DATA_SYMS), 12 * cfg.nof_prb))
+    syms = syms.at[:, -1].set(0)
+    return _sl_map(syms, _sl_dmrs(0, 12 * cfg.nof_prb),
+                   cfg.nof_prb_cell * 12, cfg.prb_start, cfg.nof_prb)
+
+
+def pscch_decode(cfg: PscchConfig, rx_grid: jnp.ndarray,
+                 noise_var: float = 1e-2) -> dict:
+    """→ dict(bits (B, sci_len), crc_ok (B,), n_x_id (B,))."""
+    from srsran_4g_tpu.models.pusch import transform_deprecode
+    eq = _sl_equalize(rx_grid, _sl_dmrs(0, 12 * cfg.nof_prb),
+                      cfg.prb_start, cfg.nof_prb, noise_var)
+    syms = transform_deprecode(eq).reshape(eq.shape[0], -1)
+    llr = modem.demodulate_soft("qpsk", syms, noise_var)
+    llr = llr.at[:, -24 * cfg.nof_prb:].set(0.0)  # blanked guard symbol
+    scr = sequence.gold_sequence_np(PSCCH_SCRAMBLING_SEED, cfg.e_bits)
+    llr = llr * jnp.asarray(1.0 - 2.0 * scr, jnp.float32)
+    deperm = np.empty(cfg.e_bits, np.int64)
+    perm = _sl_interleave_perm(cfg.e_bits, 2)
+    deperm[perm] = np.arange(cfg.e_bits)
+    llr = llr[..., jnp.asarray(deperm)]
+    d = rate_match.conv_rate_dematch(llr, cfg.sci_len + SCI_CRC_LEN)
+    bits = convcode.viterbi_decode(d)
+    ok = crc_ops.crc_check(bits, "16")
+    # n_X_ID for PSSCH scrambling = decimal of the PSCCH CRC (36.211 §9.3.1)
+    crc_bits = bits[..., -SCI_CRC_LEN:].astype(jnp.int32)
+    n_x_id = jnp.sum(crc_bits * (1 << jnp.arange(SCI_CRC_LEN - 1, -1, -1)),
+                     axis=-1)
+    return dict(bits=bits[..., :cfg.sci_len], crc_ok=ok, n_x_id=n_x_id)
+
+
+def sci0_n_x_id(sci_bits: np.ndarray) -> int:
+    """TX-side n_X_ID: decimal value of the SCI CRC bits."""
+    crc = np.asarray(crc_ops.crc_compute(
+        jnp.asarray(sci_bits, jnp.int8)[None], "16"))[0]
+    return int(sum(int(b) << (SCI_CRC_LEN - 1 - i) for i, b in enumerate(crc)))
+
+
+@dataclass(frozen=True)
+class PsschConfig:
+    tbs: int
+    nof_prb_cell: int = 50
+    prb_start: int = 1
+    nof_prb: int = 4
+    mod: str = "qpsk"
+    n_x_id: int = 0
+    sf_idx: int = 0
+    rv: int = 0
+
+    @property
+    def qm(self) -> int:
+        return {"qpsk": 2, "16qam": 4}[self.mod]
+
+    @property
+    def g_bits(self) -> int:
+        return len(SL_DATA_SYMS) * 12 * self.nof_prb * self.qm
+
+    @property
+    def plan(self):
+        from srsran_4g_tpu.models import sch
+        return sch.dlsch_plan(self.tbs, self.g_bits, self.qm, self.rv)
+
+    @property
+    def scramble_seq(self) -> np.ndarray:
+        # pssch.c:352: c_init = n_X_ID * 2^14 + (sf_idx % 10) * 2^9 + 510
+        cinit = self.n_x_id * 16384 + (self.sf_idx % 10) * 512 + 510
+        return sequence.gold_sequence_np(cinit, self.g_bits)
+
+
+def pssch_encode(cfg: PsschConfig, tb_bits: jnp.ndarray) -> jnp.ndarray:
+    """(B, tbs) SL-SCH transport block → (B, 14, nre) grid slice."""
+    from srsran_4g_tpu.models import sch
+    from srsran_4g_tpu.models.pusch import transform_precode
+    from srsran_4g_tpu.ops.scrambling import scramble_bits
+    cw = sch.dlsch_encode(cfg.plan, tb_bits)
+    cw = cw[..., jnp.asarray(_sl_interleave_perm(cfg.g_bits, cfg.qm))]
+    syms = modem.modulate(cfg.mod, scramble_bits(cw, jnp.asarray(cfg.scramble_seq)))
+    b = tb_bits.shape[0]
+    syms = transform_precode(
+        syms.reshape(b, len(SL_DATA_SYMS), 12 * cfg.nof_prb))
+    syms = syms.at[:, -1].set(0)
+    return _sl_map(syms, _sl_dmrs(cfg.n_x_id % 30, 12 * cfg.nof_prb),
+                   cfg.nof_prb_cell * 12, cfg.prb_start, cfg.nof_prb)
+
+
+def pssch_decode(cfg: PsschConfig, rx_grid: jnp.ndarray,
+                 noise_var: float = 1e-2, n_iter: int = 5) -> dict:
+    """→ dict(bits (B, tbs), crc_ok (B,))."""
+    from srsran_4g_tpu.models import sch
+    from srsran_4g_tpu.models.pusch import transform_deprecode
+    eq = _sl_equalize(rx_grid, _sl_dmrs(cfg.n_x_id % 30, 12 * cfg.nof_prb),
+                      cfg.prb_start, cfg.nof_prb, noise_var)
+    syms = transform_deprecode(eq).reshape(eq.shape[0], -1)
+    llr = modem.demodulate_soft(cfg.mod, syms, noise_var)
+    llr = llr.at[:, -12 * cfg.nof_prb * cfg.qm:].set(0.0)
+    llr = llr * jnp.asarray(1.0 - 2.0 * cfg.scramble_seq, jnp.float32)
+    deperm = np.empty(cfg.g_bits, np.int64)
+    perm = _sl_interleave_perm(cfg.g_bits, cfg.qm)
+    deperm[perm] = np.arange(cfg.g_bits)
+    llr = llr[..., jnp.asarray(deperm)]
+    bits, ok, _ = sch.dlsch_decode(cfg.plan, llr, n_iter=n_iter)
+    return dict(bits=bits, crc_ok=ok)
