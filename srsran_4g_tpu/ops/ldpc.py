@@ -12,7 +12,11 @@ AVX2/AVX512 encoders and layered/flooded decoders).  TPU design:
 - Encoding solves the 4Z×4Z core via a host-precomputed GF(2) inverse
   applied as an MXU matmul (mod 2); the remaining parity rows are direct
   XOR accumulations.
-- Normalized min-sum (factor 0.8), flooding schedule, fixed iterations.
+- Normalized min-sum (factor 0.8), fixed iterations, two schedules: the
+  flooding default (one fused gather/min/scatter per iteration — widest
+  parallelism) and a layered schedule (`lax.scan` over the 42/46 base-graph
+  rows, ~2× fewer iterations for the same BLER, matching the reference's
+  `ldpc_decoder` layered variants).
 
 Base-graph shift tables are TS 38.212 Tables 5.3.2-2/-3 spec data
 (utils/ldpc_tables.npz).
@@ -166,17 +170,37 @@ def encode(bits: jnp.ndarray, bg: int, z: int) -> jnp.ndarray:
     return full.reshape(b, nfull * z).astype(jnp.int8)
 
 
+def _minsum(v2c: jnp.ndarray, mask: jnp.ndarray, norm: float,
+            axis: int) -> jnp.ndarray:
+    """Normalized min-sum check update along `axis` (the edge axis)."""
+    sgn = jnp.where(v2c < 0, -1.0, 1.0) * mask + (1.0 - mask)
+    mag = jnp.where(mask > 0, jnp.abs(v2c), 1e30)
+    row_sign = jnp.prod(sgn, axis=axis, keepdims=True)
+    m1 = jnp.min(mag, axis=axis, keepdims=True)
+    idx1 = jnp.argmin(mag, axis=axis, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, mag.shape, axis)
+    mag2 = jnp.where(iota == idx1, 1e30, mag)
+    m2 = jnp.min(mag2, axis=axis, keepdims=True)
+    mins = jnp.where(iota == idx1, m2, m1)
+    return norm * row_sign * sgn * mins * mask
+
+
 def decode(
-    llrs: jnp.ndarray, bg: int, z: int, n_iter: int = 10, norm: float = 0.8
+    llrs: jnp.ndarray, bg: int, z: int, n_iter: int = 10, norm: float = 0.8,
+    schedule: str = "flooded",
 ) -> jnp.ndarray:
-    """Flooded normalized min-sum decode.
+    """Normalized min-sum decode (flooding or layered schedule).
 
     Args:
       llrs: (B, Nfull*Z) float32, positive ⇒ bit 1, zeros for punctured /
         not-transmitted positions.
+      schedule: "flooded" (default, one fused update per iteration) or
+        "layered" (sequential row updates; use ~half the iterations).
 
     Returns (B, Kb*Z) hard info bits.
     """
+    if schedule == "layered":
+        return _decode_layered(llrs, bg, z, n_iter, norm)
     kb, m, nfull = bg_params(bg)
     gidx_np, mask_np, _ = _edge_structure(bg, z)
     gidx = jnp.asarray(gidx_np.reshape(-1))
@@ -189,19 +213,8 @@ def decode(
     def body(_, carry):
         lq, c2v = carry
         v2c = lq[:, gidx].reshape(b, m, d, z) - c2v
-        sgn = jnp.where(v2c < 0, -1.0, 1.0) * mask + (1.0 - mask)
-        mag = jnp.where(mask > 0, jnp.abs(v2c), 1e30)
-        row_sign = jnp.prod(sgn, axis=2, keepdims=True)
-        m1 = jnp.min(mag, axis=2, keepdims=True)
-        idx1 = jnp.argmin(mag, axis=2, keepdims=True)
-        mag2 = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, mag.shape, 2) == idx1,
-            1e30, mag)
-        m2 = jnp.min(mag2, axis=2, keepdims=True)
-        is_min = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 2) == idx1
-        mins = jnp.where(is_min, m2, m1)
-        c2v_new = norm * row_sign * sgn * mins * mask
-        delta = (c2v_new - 0.0).reshape(b, -1)
+        c2v_new = _minsum(v2c, mask, norm, axis=2)
+        delta = c2v_new.reshape(b, -1)
         lq_new = chan + jnp.zeros_like(chan).at[:, gidx].add(delta)
         return lq_new, c2v_new
 
@@ -210,6 +223,36 @@ def decode(
     lq, _ = jax.lax.fori_loop(0, n_iter, body, (lq0, c2v0))
     hard = (lq < 0).astype(jnp.int8)  # internal positive ⇒ 0
     return hard[:, :kb * z]
+
+
+def _decode_layered(llrs: jnp.ndarray, bg: int, z: int, n_iter: int,
+                    norm: float) -> jnp.ndarray:
+    """Layered normalized min-sum: APP (lq) is updated row by row within
+    an iteration (`lax.scan` over the base-graph rows), so each check sees
+    the newest messages — converges in roughly half the flooded iteration
+    count (the reference's `ldpc_decoder` layered variants)."""
+    kb, m, nfull = bg_params(bg)
+    gidx_np, mask_np, _ = _edge_structure(bg, z)
+    b = llrs.shape[0]
+    d = mask_np.shape[1]
+    gidx_rows = jnp.asarray(gidx_np.reshape(m, d * z))
+    mask = jnp.asarray(mask_np)  # (M, D, 1)
+    chan = -llrs.astype(jnp.float32)
+
+    def row_step(lq, xs):
+        gi, mk, c2v_row = xs  # (D*Z,), (D,1), (B,D,Z)
+        v2c = lq[:, gi].reshape(b, d, z) - c2v_row
+        c2v_new = _minsum(v2c, mk, norm, axis=1)
+        lq = lq.at[:, gi].add((c2v_new - c2v_row).reshape(b, -1))
+        return lq, c2v_new
+
+    def body(_, carry):
+        lq, c2v = carry  # c2v (M, B, D, Z)
+        return jax.lax.scan(row_step, lq, (gidx_rows, mask, c2v))
+
+    c2v0 = jnp.zeros((m, b, d, z), jnp.float32)
+    lq, _ = jax.lax.fori_loop(0, n_iter, body, (chan, c2v0))
+    return (lq < 0).astype(jnp.int8)[:, :kb * z]
 
 
 # --- rate matching (TS 38.212 §5.4.2.1, simplified: no Qm interleaver) ------

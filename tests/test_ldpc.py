@@ -85,3 +85,26 @@ def test_rv_offsets_differ():
     t0 = np.asarray(ldpc.rm_select(cw, bg, z, 256, rv=0))
     t2 = np.asarray(ldpc.rm_select(cw, bg, z, 256, rv=2))
     assert not np.array_equal(t0, t2)
+
+
+@pytest.mark.parametrize("bg,z", [(1, 32), (2, 52)])
+def test_ldpc_layered_schedule(bg, z):
+    """Layered min-sum decodes with half the flooded iterations."""
+    kb = 22 if bg == 1 else 10
+    rng = np.random.default_rng(bg * 10 + z)
+    bits = rng.integers(0, 2, size=(8, kb * z)).astype(np.int8)
+    cw = ldpc.encode(jnp.asarray(bits), bg, z)
+    # transmit everything except the first 2Z punctured columns
+    n = cw.shape[1]
+    x = 1.0 - 2.0 * np.asarray(cw, np.float32)
+    snr_db = 3.0
+    sigma2 = 10 ** (-snr_db / 10)
+    noise = rng.normal(0, np.sqrt(sigma2), size=x.shape).astype(np.float32)
+    llr = 2.0 * (x + noise) / sigma2
+    llr_in = -llr  # positive => bit 1 convention
+    llr_in[:, :2 * z] = 0.0  # punctured
+    out_fl = ldpc.decode(jnp.asarray(llr_in), bg, z, n_iter=10)
+    out_la = ldpc.decode(jnp.asarray(llr_in), bg, z, n_iter=5,
+                         schedule="layered")
+    np.testing.assert_array_equal(np.asarray(out_fl), bits)
+    np.testing.assert_array_equal(np.asarray(out_la), bits)
