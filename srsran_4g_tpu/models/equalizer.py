@@ -79,3 +79,44 @@ def alamouti_decode_2x1(
     eff = 2.0 * nv / denom
     eff_nv = jnp.stack([eff, eff], axis=-1).reshape(y.shape).astype(jnp.float32)
     return x.astype(jnp.complex64), eff_nv
+
+
+def sfbc_fstd_decode_4x1(
+    y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray | float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """SFBC-FSTD (TM2, 4 TX ports) decode for 1 RX antenna.
+
+    The 4-port diversity mapping (precoding.c:1961, 36.211 §6.3.4.3) sends
+    Alamouti pairs on port pair (0, 2) over REs (4i, 4i+1) and on
+    (1, 3) over REs (4i+2, 4i+3):
+      RE 4i:   p0 = x0,  p2 = -x1*;   RE 4i+1: p0 = x1, p2 = x0*
+      RE 4i+2: p1 = x2,  p3 = -x3*;   RE 4i+3: p1 = x3, p3 = x2*
+    (1/sqrt(2) power split per active pair).
+
+    Args:
+      y: (..., N) received REs, N a multiple of 4.
+      h: (..., 4, N) per-port channel estimates.
+
+    Returns (x_hat (..., N), eff_noise_var (..., N)).
+    """
+    def pair(ya, yb, ga, gb):
+        den = jnp.maximum(jnp.abs(ga) ** 2 + jnp.abs(gb) ** 2, 1e-12)
+        xa = (jnp.conj(ga) * ya + gb * jnp.conj(yb)) / den * jnp.sqrt(2.0)
+        xb = (jnp.conj(ga) * yb - gb * jnp.conj(ya)) / den * jnp.sqrt(2.0)
+        return xa, xb, den
+
+    y0, y1, y2, y3 = (y[..., i::4] for i in range(4))
+    g0 = h[..., 0, 0::4]
+    g2 = h[..., 2, 0::4]
+    g1 = h[..., 1, 2::4]
+    g3 = h[..., 3, 2::4]
+    x0, x1, d02 = pair(y0, y1, g0, g2)
+    x2, x3, d13 = pair(y2, y3, g1, g3)
+    x = jnp.stack([x0, x1, x2, x3], axis=-1).reshape(y.shape)
+    nv = jnp.asarray(noise_var, jnp.float32)
+    while nv.ndim < y.ndim:
+        nv = nv[..., None]
+    e02 = 2.0 * nv / d02
+    e13 = 2.0 * nv / d13
+    eff_nv = jnp.stack([e02, e02, e13, e13], axis=-1).reshape(y.shape)
+    return x.astype(jnp.complex64), eff_nv.astype(jnp.float32)

@@ -4,7 +4,7 @@ Counterpart of the reference's `lib/src/phy/phch/pdsch.c`
 (srsran_pdsch_encode :1017, srsran_pdsch_decode :788) composed with the
 composite receivers `lib/src/phy/ue/ue_dl.c` / `lib/src/phy/enb/enb_dl.c`.
 
-Chain (single codeword, port 0; SFBC via equalizer.alamouti for TM2):
+Chain (single codeword; TM2 SFBC for 2 ports, SFBC-FSTD for 4 ports):
 
   encode:  TB bits → DL-SCH (CRC/segment/turbo/rate-match) → scramble →
            modulate → RE-map into the resource grid (+ CRS insertion)
@@ -76,8 +76,8 @@ class PdschConfig:
 def encode(cfg: PdschConfig, tb_bits: jnp.ndarray) -> jnp.ndarray:
     """TB bits (B, tbs) → resource grid with PDSCH REs set.
 
-    Returns (B, nsymb, nre) for 1 port, (B, 2, nsymb, nre) for 2 ports
-    (TM2 SFBC transmit diversity, TS 36.211 §6.3.4.3).
+    Returns (B, nsymb, nre) for 1 port, (B, P, nsymb, nre) for 2/4 ports
+    (TM2 SFBC / SFBC-FSTD transmit diversity, TS 36.211 §6.3.4.3).
     """
     cw = sch.dlsch_encode(cfg.plan, tb_bits)
     seq = jnp.asarray(cfg.scramble_seq)
@@ -89,16 +89,35 @@ def encode(cfg: PdschConfig, tb_bits: jnp.ndarray) -> jnp.ndarray:
         flat = jnp.zeros((b, cfg.cell.nsymb * cfg.cell.nre), dtype=jnp.complex64)
         flat = flat.at[:, idx].set(syms)
         return flat.reshape(b, cfg.cell.nsymb, cfg.cell.nre)
-    assert cfg.cell.nof_ports == 2, "1 or 2 ports supported"
-    x0 = syms[:, 0::2]
-    x1 = syms[:, 1::2]
     s = jnp.sqrt(2.0).astype(jnp.complex64)
-    p0 = jnp.stack([x0, x1], axis=-1).reshape(b, -1) / s
-    p1 = jnp.stack([-jnp.conj(x1), jnp.conj(x0)], axis=-1).reshape(b, -1) / s
-    flat = jnp.zeros((b, 2, cfg.cell.nsymb * cfg.cell.nre), dtype=jnp.complex64)
-    flat = flat.at[:, 0, idx].set(p0)
-    flat = flat.at[:, 1, idx].set(p1)
-    return flat.reshape(b, 2, cfg.cell.nsymb, cfg.cell.nre)
+    if cfg.cell.nof_ports == 2:
+        x0 = syms[:, 0::2]
+        x1 = syms[:, 1::2]
+        p0 = jnp.stack([x0, x1], axis=-1).reshape(b, -1) / s
+        p1 = jnp.stack([-jnp.conj(x1), jnp.conj(x0)], axis=-1).reshape(b, -1) / s
+        flat = jnp.zeros((b, 2, cfg.cell.nsymb * cfg.cell.nre),
+                         dtype=jnp.complex64)
+        flat = flat.at[:, 0, idx].set(p0)
+        flat = flat.at[:, 1, idx].set(p1)
+        return flat.reshape(b, 2, cfg.cell.nsymb, cfg.cell.nre)
+    assert cfg.cell.nof_ports == 4, "1, 2 or 4 ports supported"
+    # SFBC-FSTD (precoding.c:1961): Alamouti pairs on ports (0,2) for REs
+    # (4i, 4i+1) and ports (1,3) for REs (4i+2, 4i+3)
+    pad = (-syms.shape[1]) % 4
+    sp = jnp.pad(syms, ((0, 0), (0, pad)))
+    x0, x1, x2, x3 = (sp[:, i::4] for i in range(4))
+    zero = jnp.zeros_like(x0)
+    p0 = jnp.stack([x0, x1, zero, zero], axis=-1).reshape(b, -1) / s
+    p1 = jnp.stack([zero, zero, x2, x3], axis=-1).reshape(b, -1) / s
+    p2 = jnp.stack([-jnp.conj(x1), jnp.conj(x0), zero, zero],
+                   axis=-1).reshape(b, -1) / s
+    p3 = jnp.stack([zero, zero, -jnp.conj(x3), jnp.conj(x2)],
+                   axis=-1).reshape(b, -1) / s
+    n = syms.shape[1]
+    flat = jnp.zeros((b, 4, cfg.cell.nsymb * cfg.cell.nre), dtype=jnp.complex64)
+    for p, vals in enumerate((p0, p1, p2, p3)):
+        flat = flat.at[:, p, idx].set(vals[:, :n])
+    return flat.reshape(b, 4, cfg.cell.nsymb, cfg.cell.nre)
 
 
 def add_crs(cfg: PdschConfig, grid_tx: jnp.ndarray, port: int = 0) -> jnp.ndarray:
@@ -138,29 +157,37 @@ def decode(
     Returns dict(bits, crc_ok, softbuffers, h, noise_var, snr_db?).
     """
     out: dict = {}
-    two_port = cfg.cell.nof_ports == 2
+    n_ports = cfg.cell.nof_ports
     if h is None or noise_var is None:
         ccfg = chest_cfg or chest_mod.ChestConfig(cell=cfg.cell)
-        est = chest_mod.estimate(ccfg, rx_grid, cfg.subframe, port=0)
-        if two_port:
-            est1 = chest_mod.estimate(ccfg, rx_grid, cfg.subframe, port=1)
-            h = jnp.stack([est["h"], est1["h"]], axis=1) if h is None else h
-            noise_var = (
-                0.5 * (est["noise_var"] + est1["noise_var"])
-                if noise_var is None else noise_var
-            )
+        ests = [chest_mod.estimate(ccfg, rx_grid, cfg.subframe, port=p)
+                for p in range(n_ports)]
+        if n_ports > 1:
+            if h is None:
+                h = jnp.stack([e["h"] for e in ests], axis=1)
+            if noise_var is None:
+                noise_var = sum(e["noise_var"] for e in ests) / n_ports
         else:
-            h = est["h"] if h is None else h
-            noise_var = est["noise_var"] if noise_var is None else noise_var
-        out["snr_db"] = est["snr_db"]
+            h = ests[0]["h"] if h is None else h
+            noise_var = (ests[0]["noise_var"] if noise_var is None
+                         else noise_var)
+        out["snr_db"] = ests[0]["snr_db"]
 
     idx = jnp.asarray(cfg.re_indices)
     b = rx_grid.shape[0]
     y = rx_grid.reshape(b, -1)[:, idx]
-    if two_port:
+    if n_ports == 2:
         h0 = h[:, 0].reshape(b, -1)[:, idx]
         h1 = h[:, 1].reshape(b, -1)[:, idx]
         x, eff_nv = equalizer.alamouti_decode_2x1(y, h0, h1, noise_var)
+    elif n_ports == 4:
+        h_re = h.reshape(b, 4, -1)[..., idx]
+        pad = (-y.shape[-1]) % 4
+        yp = jnp.pad(y, ((0, 0), (0, pad)))
+        hp = jnp.pad(h_re, ((0, 0), (0, 0), (0, pad)),
+                     constant_values=1.0)
+        x, eff_nv = equalizer.sfbc_fstd_decode_4x1(yp, hp, noise_var)
+        x, eff_nv = x[..., :y.shape[-1]], eff_nv[..., :y.shape[-1]]
     else:
         h_re = h.reshape(b, -1)[:, idx]
         x, eff_nv = equalizer.equalize_single(y, h_re, noise_var)
