@@ -71,3 +71,18 @@ def tbs(nof_prb: int, mcs: int, nof_symb: int = 12, nof_dmrs_re: int = 12,
 def dl_tbs(mcs: int, nof_prb: int) -> int:
     """Convenience: PDSCH mapping type A, type-1 DMRS 2 symbols."""
     return tbs(nof_prb, mcs, nof_symb=11, nof_dmrs_re=12)
+
+
+def sliv_encode(n: int, s: int, l: int) -> int:
+    """NR start-and-length indicator (38.214 §5.1.2.1; `common/sliv.c:37`)."""
+    if (l - 1) <= n // 2:
+        return n * (l - 1) + s
+    return n * (n - l + 1) + (n - 1 - s)
+
+
+def sliv_decode(n: int, v: int) -> tuple[int, int]:
+    """SLIV → (S, L) (`common/sliv.c:24`)."""
+    low, high = v % n, v // n
+    if high + 1 + low <= n:
+        return low, high + 1
+    return n - 1 - low, n - high + 1

@@ -270,3 +270,22 @@ def test_e2_kpm_subscription_and_indication():
     # malformed E2AP is counted, not raised
     agent.rx(b"\xff\xff\x00\x01z")
     assert "malformed_e2ap" in agent.events
+
+
+def test_sweep_checkpoint_resume(tmp_path):
+    """SweepCheckpoint: atomic persist, resume skip, meta invalidation."""
+    from srsran_4g_tpu.utils.checkpoint import SweepCheckpoint
+    path = str(tmp_path / "sweep.ckpt.json")
+    c1 = SweepCheckpoint(path, meta={"frames": 8})
+    assert "a" not in c1
+    c1.put("a", {"bler": 0.5})
+    c1.put("b", {"bler": 0.25})
+    # resume with same meta: rows restored
+    c2 = SweepCheckpoint(path, meta={"frames": 8})
+    assert "a" in c2 and c2.get("b") == {"bler": 0.25}
+    # different meta (grid changed): discarded
+    c3 = SweepCheckpoint(path, meta={"frames": 16})
+    assert "a" not in c3
+    c2.done()
+    import os
+    assert not os.path.exists(path)

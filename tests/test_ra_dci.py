@@ -60,3 +60,13 @@ def test_dci_0_roundtrip():
     bits = dci.pack_0(d, 50)
     assert bits.shape[0] == dci.format1a_len(50)
     assert dci.unpack_0(bits, 50) == d
+
+
+def test_nr_sliv_roundtrip():
+    from srsran_4g_tpu.models import ra_nr
+    n = 14
+    for s in range(n):
+        for l in range(1, n - s + 1):
+            v = ra_nr.sliv_encode(n, s, l)
+            assert v < 128
+            assert ra_nr.sliv_decode(n, v) == (s, l)

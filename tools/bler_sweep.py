@@ -6,6 +6,10 @@ word/bit error rates + throughput print) and `pdsch_test.c` /
 tables to artifacts/bler_ldpc.json and artifacts/bler_pdsch.json for
 cross-round comparison.
 
+Interrupted sweeps resume from artifacts/bler_sweep.ckpt.json: every
+completed (channel, SNR) grid point is persisted atomically and skipped
+on restart (utils/checkpoint.SweepCheckpoint).
+
 Usage: python tools/bler_sweep.py [--cpu] [--frames 32]
 """
 
@@ -22,6 +26,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--checkpoint", default="artifacts/bler_sweep.ckpt.json")
     args = p.parse_args()
 
     import jax
@@ -33,8 +38,11 @@ def main():
     from srsran_4g_tpu.channel.awgn import awgn, snr_to_noise_var
     from srsran_4g_tpu.models import grid as G, pdsch, sch_nr
 
+    from srsran_4g_tpu.utils.checkpoint import SweepCheckpoint
+
     rng = np.random.default_rng(0)
     out = {"ldpc": [], "pdsch": []}
+    ckpt = SweepCheckpoint(args.checkpoint, meta={"frames": args.frames})
 
     # --- NR LDPC chain (BG1, one CB) over Eb/N0 --------------------------
     tbs, g_bits, qm = 4224, 12672, 4
@@ -54,15 +62,20 @@ def main():
 
     t_tot = 0.0
     for ebn0 in np.arange(0.5, 4.01, 0.5):
-        nv = float(10 ** (-ebn0 / 10) / (2 * rate))
+        key = f"ldpc/ebn0={float(ebn0):.2f}"
         bits = jnp.asarray(rng.integers(0, 2, (args.frames, tbs)).astype(np.int8))
-        t0 = time.perf_counter()
-        n_ok, n_err = ldpc_step(bits, jax.random.PRNGKey(int(ebn0 * 10)), nv)
-        n_ok, n_err = int(n_ok), int(n_err)
-        t_tot += time.perf_counter() - t0
-        row = dict(ebn0_db=round(float(ebn0), 2),
-                   bler=round(1 - n_ok / args.frames, 4),
-                   ber=round(n_err / (args.frames * tbs), 6))
+        if key in ckpt:
+            row = ckpt.get(key)
+        else:
+            nv = float(10 ** (-ebn0 / 10) / (2 * rate))
+            t0 = time.perf_counter()
+            n_ok, n_err = ldpc_step(bits, jax.random.PRNGKey(int(ebn0 * 10)), nv)
+            n_ok, n_err = int(n_ok), int(n_err)
+            t_tot += time.perf_counter() - t0
+            row = dict(ebn0_db=round(float(ebn0), 2),
+                       bler=round(1 - n_ok / args.frames, 4),
+                       ber=round(n_err / (args.frames * tbs), 6))
+            ckpt.put(key, row)
         out["ldpc"].append(row)
         print("ldpc", row, file=sys.stderr)
     info_bps = args.frames * tbs * 8 / max(t_tot, 1e-9)
@@ -85,12 +98,18 @@ def main():
             return jnp.sum(o["crc_ok"].astype(jnp.int32))
 
         for snr in np.linspace(lo, hi, 5):
-            nv = float(snr_to_noise_var(float(snr)))
+            key = f"pdsch/{mod}/snr={float(snr):.1f}"
             bits = jnp.asarray(rng.integers(0, 2, (args.frames, tbs_i))
                                .astype(np.int8))
-            n_ok = int(pdsch_step(bits, jax.random.PRNGKey(int(snr * 7)), nv))
-            row = dict(mod=mod, tbs=tbs_i, snr_db=round(float(snr), 1),
-                       bler=round(1 - n_ok / args.frames, 4))
+            if key in ckpt:
+                row = ckpt.get(key)
+            else:
+                nv = float(snr_to_noise_var(float(snr)))
+                n_ok = int(pdsch_step(bits, jax.random.PRNGKey(int(snr * 7)),
+                                      nv))
+                row = dict(mod=mod, tbs=tbs_i, snr_db=round(float(snr), 1),
+                           bler=round(1 - n_ok / args.frames, 4))
+                ckpt.put(key, row)
             out["pdsch"].append(row)
             print("pdsch", row, file=sys.stderr)
 
@@ -99,6 +118,7 @@ def main():
         json.dump(out["ldpc"], f, indent=1)
     with open("artifacts/bler_pdsch.json", "w") as f:
         json.dump(out["pdsch"], f, indent=1)
+    ckpt.done()
     print(json.dumps({"metric": "pdsch_bler_points",
                       "value": len(out["pdsch"]), "unit": "rows"}))
 
