@@ -271,7 +271,11 @@ class RrcEnb:
     def _handle_measurement(self, ue: UeCtx, rep: "R.MeasReport") -> None:
         """A3-style decision: neighbor above serving + offset -> intra-eNB
         handover via reconfiguration-with-mobilityControlInfo, or S1
-        handover when the PCI belongs to another eNB."""
+        handover when the PCI belongs to another eNB.  A B1 NR report
+        triggers EN-DC SgNB addition instead (rrc_endc.cc)."""
+        if rep.is_nr:
+            self._start_endc(ue)
+            return
         if rep.rsrp < self.a3_offset_rsrp or rep.pci == self.cell.pci:
             return
         if rep.pci in self.s1_neighbors:
@@ -291,6 +295,32 @@ class RrcEnb:
         ue.rnti = new_rnti
         self.events.append(f"ho_cmd {old_rnti:#x}->{new_rnti:#x} "
                            f"pci={rep.pci}")
+
+    # -- EN-DC (rrc_endc.cc) -------------------------------------------------
+
+    def enable_endc(self, endc) -> None:
+        """Attach an x2.EnbEndc controller (NSA mode)."""
+        self.endc = endc
+
+    def _start_endc(self, ue: UeCtx) -> None:
+        """B1 NR report received: SgNB Addition over X2, then the LTE
+        reconfiguration carrying nr-SecondaryCellGroup + sk-Counter."""
+        endc = getattr(self, "endc", None)
+        if endc is None or not ue.k_enb:
+            return
+        erab_id = next(iter(ue.erab_teids), 5)
+        sk_counter = getattr(self, "_sk_counter", 0)
+        self._sk_counter = sk_counter + 1
+        s_kgnb = security.s_kgnb(ue.k_enb, sk_counter)
+        res = endc.start_endc(rnti=ue.rnti, erab_id=erab_id,
+                              spgw_teid=ue.spgw_teids.get(erab_id, 0),
+                              s_kgnb=s_kgnb)
+        ue.nr_gnb_teid = res["gnb_teid"]
+        ue.nr_rnti = res["nr_rnti"]
+        self._tx_dcch(ue, R.RrcConnectionReconfiguration(
+            nr_scg=res["nr_config"], sk_counter=sk_counter).pack())
+        self.events.append(f"endc_start rnti={ue.rnti:#x} "
+                           f"nr_rnti={res['nr_rnti']:#x}")
 
     # -- S1 handover (rrc_mobility.cc s1_source_ho_st / s1ap.cc HO procs) ---
 

@@ -386,6 +386,10 @@ class RrcConnectionReconfiguration:
     nas_pdu: bytes = b""
     meas_config: bool = False
     mobility: MobilityControlInfo | None = None
+    # EN-DC (36.331 nr-SecondaryCellGroupConfig-r15 + sk-Counter-r15):
+    # opaque NR RRC container from the SgNB plus the S-KgNB counter
+    nr_scg: bytes = b""
+    sk_counter: int = 0
 
     def pack(self) -> bytes:
         w = BitWriter()
@@ -405,6 +409,10 @@ class RrcConnectionReconfiguration:
             w.put(self.mobility.new_c_rnti, 16)
             pack_constrained_int(w, self.mobility.t304_ms, 0, 8000)
             w.put(self.mobility.ncc, 3)
+        w.put_bool(bool(self.nr_scg))
+        if self.nr_scg:
+            pack_varlen_bytes(w, self.nr_scg)
+            w.put(self.sk_counter, 16)
         return w.to_bytes()
 
 
@@ -454,6 +462,7 @@ class MeasReport:
     rsrp: int = 0   # 0..97 (36.133 9.1.4)
     rsrq: int = 0   # 0..34
     pci: int = 0
+    is_nr: bool = False  # B1 inter-RAT NR report (measResultNeighCellListNR)
 
     def pack(self) -> bytes:
         w = BitWriter()
@@ -461,6 +470,7 @@ class MeasReport:
         pack_constrained_int(w, self.rsrp, 0, 97)
         pack_constrained_int(w, self.rsrq, 0, 34)
         w.put(self.pci, 9)
+        w.put_bool(self.is_nr)
         return w.to_bytes()
 
 
@@ -480,7 +490,7 @@ def unpack_ul_dcch(data: bytes):
     if t == UL_DCCH_MEAS_REPORT:
         return MeasReport(rsrp=unpack_constrained_int(r, 0, 97),
                           rsrq=unpack_constrained_int(r, 0, 34),
-                          pci=r.get(9))
+                          pci=r.get(9), is_nr=r.get_bool())
     raise ValueError(f"unknown UL-DCCH type {t}")
 
 
@@ -535,8 +545,13 @@ def unpack_dl_dcch(data: bytes):
                 target_pci=r.get(9), new_c_rnti=r.get(16),
                 t304_ms=unpack_constrained_int(r, 0, 8000),
                 ncc=r.get(3))
+        nr_scg, sk = b"", 0
+        if r.get_bool():
+            nr_scg = unpack_varlen_bytes(r)
+            sk = r.get(16)
         return RrcConnectionReconfiguration(drbs=drbs, nas_pdu=nas,
-                                            meas_config=meas, mobility=mob)
+                                            meas_config=meas, mobility=mob,
+                                            nr_scg=nr_scg, sk_counter=sk)
     if t == DL_DCCH_DL_INFO_TRANSFER:
         return DlInformationTransfer(nas_pdu=unpack_varlen_bytes(r))
     if t == DL_DCCH_CONN_RELEASE:

@@ -167,6 +167,8 @@ class RrcUe:
                 if drb.lcid not in self.drb_lcids:
                     self.drb_lcids.append(drb.lcid)
                 self.drb_pdcp[drb.lcid] = ent
+            if msg.nr_scg:
+                self._apply_nr_scg(msg.nr_scg, msg.sk_counter)
             if msg.nas_pdu:
                 for ul in self.nas.rx(msg.nas_pdu):
                     self.send_ul_info_transfer(ul)
@@ -178,6 +180,31 @@ class RrcUe:
         elif isinstance(msg, R.RrcConnectionRelease):
             self.state = RRC_IDLE
             self.events.append("released")
+
+    def _apply_nr_scg(self, blob: bytes, sk_counter: int) -> None:
+        """EN-DC secondary cell group (36.331 5.3.5.3 + rrc_nr
+        RRCReconfiguration applied by the NSA UE): derive S-KgNB from the
+        current K_eNB and the sk-Counter (33.401 A.15), bring up the SCG
+        DRB's PDCP-NR under the NR user-plane key."""
+        from srsran_4g_tpu.stack.asn1 import BitReader
+        from srsran_4g_tpu.stack.pdcp_nr import PdcpNrConfig, PdcpNrEntity
+        r = BitReader(blob)
+        self.nr_rnti = r.get(16)
+        self.nr_lcid = r.get(5)
+        s_kgnb = security.s_kgnb(self.nas.get_k_enb(), sk_counter)
+        k_up = security.k_rrc_up(s_kgnb, 2, "up_enc")
+        self.scg_pdcp = PdcpNrEntity(PdcpNrConfig(
+            bearer_id=5, sn_len=18, cipher_key=k_up))
+        self.events.append(f"endc_scg nr_rnti={self.nr_rnti:#x}")
+
+    def write_scg_sdu(self, sdu: bytes) -> bytes:
+        """Cipher one IP packet onto the NR leg (SCG bearer)."""
+        return self.scg_pdcp.write_sdu(sdu, direction=0)
+
+    def rx_scg_pdu(self, pdu: bytes) -> list[bytes]:
+        n0 = len(self.scg_pdcp.delivered)
+        self.scg_pdcp.write_pdu(pdu, direction=1)
+        return self.scg_pdcp.delivered[n0:]
 
     def _vertical_rekey(self, ncc: int, target_pci: int) -> None:
         """S1 handover key change (33.401 7.2.8.4): step the NH chain up
@@ -212,12 +239,13 @@ class RrcUe:
         self._tx_dcch(SRB1_LCID, R.UlInformationTransfer(nas_pdu=nas_pdu).pack())
 
     def send_meas_report(self, rsrp_dbm: float, rsrq_db: float,
-                         pci: int) -> None:
-        """A3-style measurement report (rrc_meas.cc value mapping)."""
+                         pci: int, is_nr: bool = False) -> None:
+        """A3-style measurement report (rrc_meas.cc value mapping);
+        is_nr marks a B1 inter-RAT NR report (EN-DC trigger)."""
         rsrp_idx = max(0, min(97, int(rsrp_dbm + 141)))
         rsrq_idx = max(0, min(34, int(2 * (rsrq_db + 20))))
         self._tx_dcch(SRB1_LCID, R.MeasReport(
-            rsrp=rsrp_idx, rsrq=rsrq_idx, pci=pci).pack())
+            rsrp=rsrp_idx, rsrq=rsrq_idx, pci=pci, is_nr=is_nr).pack())
 
     # -- user plane --------------------------------------------------------
 

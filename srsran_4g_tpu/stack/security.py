@@ -54,6 +54,12 @@ def k_enb_star(key: bytes, pci: int, earfcn_dl: int = 3400) -> bytes:
                 struct.pack(">I", earfcn_dl))
 
 
+def s_kgnb(k_enb_: bytes, scg_counter: int) -> bytes:
+    """EN-DC secondary-node key (33.401 Annex A.15): S-KgNB =
+    KDF(K_eNB, FC=0x1C, SCG counter)."""
+    return _kdf(k_enb_, 0x1C, struct.pack(">H", scg_counter))
+
+
 def k_nas(k_asme_: bytes, alg_id: int, integrity: bool) -> bytes:
     dist = b"\x02" if integrity else b"\x01"
     return _kdf(k_asme_, 0x15, dist, bytes([alg_id]))[16:]

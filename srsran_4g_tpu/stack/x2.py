@@ -22,19 +22,21 @@ class SgnbAdditionRequest:
     enb_ue_x2_id: int = 0
     erab_id: int = 5
     spgw_teid: int = 0
+    s_kgnb: bytes = b""  # 33.401 E.2.4: MeNB-derived S-KgNB in the request
 
     def pack(self) -> bytes:
         w = BitWriter()
         w.put(self.enb_ue_x2_id, 16)
         w.put(self.erab_id, 4)
         w.put(self.spgw_teid, 32)
+        pack_varlen_bytes(w, self.s_kgnb)
         return w.to_bytes()
 
     @classmethod
     def unpack(cls, d: bytes) -> "SgnbAdditionRequest":
         r = BitReader(d)
         return cls(enb_ue_x2_id=r.get(16), erab_id=r.get(4),
-                   spgw_teid=r.get(32))
+                   spgw_teid=r.get(32), s_kgnb=unpack_varlen_bytes(r))
 
 
 @dataclass
@@ -80,7 +82,16 @@ class GnbEndcTerm:
         teid = self.next_teid
         self.next_teid += 1
         self.ues[x2_id] = dict(nr_rnti=rnti, erab_id=req.erab_id,
-                               spgw_teid=req.spgw_teid, state="ADDED")
+                               spgw_teid=req.spgw_teid, state="ADDED",
+                               s_kgnb=req.s_kgnb)
+        if req.s_kgnb:
+            # SCG bearer PDCP-NR terminates at the gNB under K_UPenc
+            # derived from S-KgNB (33.501-style, shared KDF family)
+            from srsran_4g_tpu.stack import security
+            from srsran_4g_tpu.stack.pdcp_nr import PdcpNrConfig, PdcpNrEntity
+            k_up = security.k_rrc_up(req.s_kgnb, 2, "up_enc")
+            self.ues[x2_id]["pdcp"] = PdcpNrEntity(PdcpNrConfig(
+                bearer_id=req.erab_id, sn_len=18, cipher_key=k_up))
         self.events.append(f"sgnb_add x2={x2_id} rnti={rnti:#x}")
         # the NR config blob the UE's RRC-NR applies (opaque to LTE RRC)
         w = BitWriter()
@@ -121,13 +132,14 @@ class EnbEndc:
         self.ues: dict[int, dict] = {}   # by enb_ue_x2_id
         self.events: list[str] = []
 
-    def start_endc(self, rnti: int, erab_id: int, spgw_teid: int) -> dict:
+    def start_endc(self, rnti: int, erab_id: int, spgw_teid: int,
+                   s_kgnb: bytes = b"") -> dict:
         """Returns {'nr_config': blob, 'gnb_teid': teid, 'nr_rnti': rnti}
         for the LTE reconfiguration toward the UE + the S1-U switch."""
         x2_id = self.next_x2_id
         self.next_x2_id += 1
         req = SgnbAdditionRequest(enb_ue_x2_id=x2_id, erab_id=erab_id,
-                                  spgw_teid=spgw_teid)
+                                  spgw_teid=spgw_teid, s_kgnb=s_kgnb)
         ack = SgnbAdditionAck.unpack(self.x2.sgnb_addition_request(req.pack()))
         self.ues[x2_id] = dict(rnti=rnti, gnb_x2_id=ack.gnb_ue_x2_id,
                                nr_rnti=ack.nr_rnti, state="ENDC_ACTIVE")
