@@ -21,6 +21,10 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
+    if os.environ.get("BENCH_MODE") == "mimo":
+        return main_mimo()
     import jax
     import jax.numpy as jnp
 
@@ -92,6 +96,68 @@ def main() -> None:
         file=sys.stderr,
     )
     print(json.dumps(result))
+
+
+def main_mimo() -> None:
+    """Secondary bench (BENCH_MODE=mimo): TM4 2×2 dual-codeword 20 MHz
+    receiver — the reference's 150 Mbps headline configuration
+    (debian/man/srsue.txt:17)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from srsran_4g_tpu.channel.awgn import awgn, snr_to_noise_var
+    from srsran_4g_tpu.models import grid as G, pdsch, pdsch_mimo
+
+    cell = G.CellConfig(nof_prb=100, cell_id=123, cfi=1, nof_ports=2)
+    tbs = 75376
+    cfg = pdsch_mimo.PdschMimoConfig(
+        cell=cell, rnti=0x1234, subframe=4, mod0="64qam", tbs0=tbs,
+        mod1="64qam", tbs1=tbs, tm="tm4", pmi=1)
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    n_iter = int(os.environ.get("BENCH_TURBO_ITERS", "4"))
+    iters = int(os.environ.get("BENCH_REPS", "16"))
+    rng = np.random.default_rng(0)
+    tb0 = jnp.asarray(rng.integers(0, 2, (batch, tbs)).astype(np.int8))
+    tb1 = jnp.asarray(rng.integers(0, 2, (batch, tbs)).astype(np.int8))
+    # host numpy (NOT an eager device array: closed-over device constants
+    # need an eager fetch at trace time, which the axon tunnel rejects)
+    hmat = np.array([[1.0 + 0.1j, 0.3 - 0.4j],
+                     [0.2 + 0.4j, -0.9 + 0.2j]], np.complex64)
+    nv = float(10 ** (-30.0 / 10))
+
+    @jax.jit
+    def make_rx(tb0, tb1, key):
+        tx = pdsch.add_crs(cfg.cw[0], pdsch_mimo.encode(cfg, tb0, tb1))
+        y = jnp.einsum("rt,btsk->brsk", hmat, tx)
+        return awgn(key, y, nv)
+
+    rx = jax.block_until_ready(make_rx(tb0, tb1, jax.random.PRNGKey(1)))
+
+    @jax.jit
+    def rx_step(rx_grids):
+        out = pdsch_mimo.decode(cfg, rx_grids, n_iter=n_iter)
+        ok = (out["crc_ok0"].astype(jnp.float32)
+              + out["crc_ok1"].astype(jnp.float32))
+        return jnp.sum(ok)
+
+    n_ok = float(rx_step(rx))
+    print(f"bench-mimo: warmup crc_ok fraction = {n_ok / (2 * batch)}",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    outs = [rx_step(rx) for _ in range(iters)]
+    v = float(outs[-1])
+    dt = time.perf_counter() - t0
+    assert v == n_ok
+    sf_per_s = batch * iters / dt
+    mbps = sf_per_s * 2 * tbs / 1e6
+    print(f"bench-mimo: {sf_per_s:.1f} sf/s ({mbps:.1f} Mb/s info)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "pdsch_mimo2x2_rx_subframes_per_sec_20mhz_64qam",
+        "value": round(sf_per_s, 2), "unit": "subframes/s",
+        "vs_baseline": round(sf_per_s / 1000.0, 3)}))
 
 
 if __name__ == "__main__":
