@@ -95,3 +95,53 @@ def test_ssb_search_wrong_cell_low_metric():
     noise = (jax.random.normal(key, (2, 4, 240, 2)) @ jnp.asarray([1.0, 1j]))
     s = ssb.search_pci(noise.astype(jnp.complex64))
     assert float(np.asarray(s["metric"]).max()) < 0.3
+
+
+# --- UCI on PUSCH (uci_nr.c + pusch_nr.c multiplexing) ----------------------
+
+
+@pytest.mark.parametrize("o_ack,o_csi", [(1, 0), (2, 8), (4, 16), (0, 11)])
+def test_uci_on_pusch_nr(o_ack, o_csi):
+    """ACK (punctured) + CSI (rate-matched) on PUSCH through AWGN."""
+    from srsran_4g_tpu.models import pusch_nr
+    cfg = pusch_nr.PuschNrUciConfig(
+        carrier=CAR, rnti=0x4601, slot=5, mod="16qam", tbs=4224,
+        uci=pusch_nr.NrUciCfg(o_ack=o_ack, o_csi=o_csi))
+    rng = np.random.default_rng(o_ack * 31 + o_csi)
+    tb = rng.integers(0, 2, (3, cfg.tbs)).astype(np.int8)
+    ack = (rng.integers(0, 2, (3, o_ack)).astype(np.int8)
+           if o_ack else None)
+    csi = (rng.integers(0, 2, (3, o_csi)).astype(np.int8)
+           if o_csi else None)
+    tx = pusch_nr.encode_uci(
+        cfg, jnp.asarray(tb),
+        None if ack is None else jnp.asarray(ack),
+        None if csi is None else jnp.asarray(csi))
+    rx = awgn(jax.random.PRNGKey(7), tx, float(snr_to_noise_var(14.0)))
+    out = pusch_nr.decode_uci(cfg, rx)
+    assert np.asarray(out["crc_ok"]).all()
+    np.testing.assert_array_equal(np.asarray(out["bits"]), tb)
+    if o_ack:
+        np.testing.assert_array_equal(np.asarray(out["ack_bits"]), ack)
+    if o_csi:
+        np.testing.assert_array_equal(np.asarray(out["csi_bits"]), csi)
+
+
+def test_uci_on_pusch_data_survives_unknown_ack():
+    """ACK puncturing (not rate matching) means a receiver that does not
+    expect ACK still decodes the data: the punctured LLRs are just noise
+    to the LDPC decoder (why 38.212 punctures ACK)."""
+    from srsran_4g_tpu.models import pusch_nr
+    uci = pusch_nr.NrUciCfg(o_ack=2, o_csi=0)
+    cfg_tx = pusch_nr.PuschNrUciConfig(
+        carrier=CAR, rnti=0x4601, slot=5, mod="qpsk", tbs=2088, uci=uci)
+    rng = np.random.default_rng(3)
+    tb = rng.integers(0, 2, (2, cfg_tx.tbs)).astype(np.int8)
+    ack = rng.integers(0, 2, (2, 2)).astype(np.int8)
+    tx = pusch_nr.encode_uci(cfg_tx, jnp.asarray(tb), jnp.asarray(ack))
+    rx = awgn(jax.random.PRNGKey(9), tx, float(snr_to_noise_var(10.0)))
+    # decode WITHOUT knowing about the ACK: plain PUSCH decode
+    cfg_rx = pusch_nr.PuschNrConfig(carrier=CAR, rnti=0x4601, slot=5,
+                                    mod="qpsk", tbs=2088)
+    out = pusch_nr.decode(cfg_rx, rx)
+    assert np.asarray(out["crc_ok"]).all()
