@@ -69,3 +69,24 @@ def test_pscch_pssch_same_subframe():
     d = sl.pssch_decode(data, rx, noise_var=nv)
     assert np.asarray(d["crc_ok"]).all()
     np.testing.assert_array_equal(np.asarray(d["bits"]), tb)
+
+
+def test_ra_sl_pscch_resources_and_trp():
+    from srsran_4g_tpu.models import ra_sl
+    bitmap = np.zeros(40, np.uint8)
+    bitmap[::4] = 1  # 10 PSCCH subframes in the period
+    (prb_a, prb_b), (sf_a, sf_b) = ra_sl.pscch_resources(
+        prb_num=4, prb_start=2, prb_end=22, sf_bitmap=bitmap, n_pscch=13)
+    assert 2 <= prb_a <= 22 and 2 <= prb_b <= 22 and prb_a != prb_b
+    assert bitmap[sf_a] == 1 and bitmap[sf_b] == 1 and sf_a != sf_b
+    # TRP: k set bits; the bitmap gates PSSCH subframes
+    idx = ra_sl.trp_idx_from_k(8, 4)
+    bm = ra_sl.trp_bitmap(8, idx)
+    assert bm.sum() == 4
+    allowed = [ra_sl.pssch_allowed_sf(i, idx) for i in range(16)]
+    assert allowed[:8] == allowed[8:16]  # periodic with the TRP length
+    assert sum(allowed[:8]) == 4
+    # RIV round-trip shared with UL type 0
+    from srsran_4g_tpu.models.ra import riv_decode, riv_encode
+    riv = riv_encode(50, 6, 10)
+    assert riv_decode(50, riv) == (6, 10)
