@@ -264,3 +264,69 @@ class DlScheduler:
             ue.avg_rate = (1 - self.pf_fairness) * ue.avg_rate + \
                 self.pf_fairness * served
         return grants
+
+
+class CaScheduler:
+    """Carrier aggregation: one DlScheduler per component carrier
+    (sched.cc per-carrier `sched_carrier`, SURVEY P3 per-carrier
+    cc_workers; up to 5 LTE CCs).  The PCell is cc 0; SCells are
+    activated per UE (36.321 SCell Activation CE).  Buffer state is
+    shared: each carrier schedules against what the earlier carriers
+    have not already drained this TTI."""
+
+    def __init__(self, nof_prb_per_cc: list[int] | tuple[int, ...],
+                 policy: str = "pf") -> None:
+        assert 1 <= len(nof_prb_per_cc) <= 5
+        self.cc = [DlScheduler(n, policy) for n in nof_prb_per_cc]
+        self.active: dict[int, list[int]] = {}  # rnti -> active cc list
+        self.buffer: dict[int, int] = {}
+
+    def ue_cfg(self, rnti: int, scells: tuple[int, ...] = ()) -> None:
+        self.active[rnti] = [0] + [c for c in scells if 0 < c < len(self.cc)]
+        self.buffer.setdefault(rnti, 0)
+        for c in self.active[rnti]:
+            self.cc[c].ue_cfg(rnti)
+
+    def scell_activate(self, rnti: int, cc_idx: int, on: bool = True) -> None:
+        a = self.active[rnti]
+        if on and cc_idx not in a and 0 < cc_idx < len(self.cc):
+            a.append(cc_idx)
+            self.cc[cc_idx].ue_cfg(rnti)
+        if not on and cc_idx in a and cc_idx != 0:
+            a.remove(cc_idx)
+            self.cc[cc_idx].ue_rem(rnti)
+
+    def ue_rem(self, rnti: int) -> None:
+        for c in self.active.pop(rnti, []):
+            self.cc[c].ue_rem(rnti)
+        self.buffer.pop(rnti, None)
+
+    def dl_rlc_buffer_state(self, rnti: int, nof_bytes: int) -> None:
+        self.buffer[rnti] = nof_bytes
+
+    def dl_cqi_info(self, rnti: int, cqi: int, cc_idx: int = 0) -> None:
+        if rnti in self.cc[cc_idx].ues:
+            self.cc[cc_idx].dl_cqi_info(rnti, cqi)
+
+    def dl_ack_info(self, rnti: int, harq_pid: int, ack: bool,
+                    cc_idx: int = 0) -> None:
+        if rnti in self.cc[cc_idx].ues:
+            self.cc[cc_idx].dl_ack_info(rnti, harq_pid, ack)
+
+    def get_dl_sched(self, tti: int) -> list[list[DlGrant]]:
+        """Per-cc grant lists; HARQ state is per (UE, cc) as in the
+        reference (independent HARQ entities per carrier)."""
+        remaining = dict(self.buffer)
+        out: list[list[DlGrant]] = []
+        for c, sched in enumerate(self.cc):
+            for rnti, ccs in self.active.items():
+                if c in ccs:
+                    sched.dl_rlc_buffer_state(rnti, remaining.get(rnti, 0))
+            grants = sched.get_dl_sched(tti)
+            for g in grants:
+                if not g.is_retx:
+                    remaining[g.rnti] = max(
+                        0, remaining.get(g.rnti, 0) - g.tbs // 8)
+            out.append(grants)
+        self.buffer = remaining
+        return out

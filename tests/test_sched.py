@@ -99,3 +99,45 @@ def test_pf_fairness_vs_rate():
                 count[g.rnti] += 1
             s.dl_ack_info(g.rnti, g.harq_pid, True)
     assert count[2] > 0.15 * count[1], count
+
+
+def test_ca_two_carriers_throughput_and_invariants():
+    """2-CC CA: per-cc invariants hold; a CA UE out-delivers an identical
+    single-carrier UE (sched.cc per-carrier carriers + scell activation)."""
+    from srsran_4g_tpu.stack.sched import CaScheduler
+    rng = np.random.default_rng(0)
+    s = CaScheduler([25, 25], policy="pf")
+    s.ue_cfg(0x46, scells=(1,))   # CA-capable
+    s.ue_cfg(0x47)                # PCell only
+    served = {0x46: 0, 0x47: 0}
+    for tti in range(300):
+        for rnti in served:
+            s.dl_rlc_buffer_state(rnti, 200_000)
+            s.dl_cqi_info(rnti, 12, cc_idx=0)
+        s.dl_cqi_info(0x46, 12, cc_idx=1)
+        per_cc = s.get_dl_sched(tti)
+        assert len(per_cc) == 2
+        for c, grants in enumerate(per_cc):
+            check_invariants(s.cc[c], grants, 25)
+            # PCell-only UE never scheduled on the SCell
+            if c == 1:
+                assert all(g.rnti != 0x47 for g in grants)
+            for g in grants:
+                if not g.is_retx:
+                    served[g.rnti] += g.tbs
+                s.dl_ack_info(g.rnti, g.harq_pid,
+                              rng.random() > 0.1, cc_idx=c)
+    assert served[0x46] > 1.5 * served[0x47]
+
+
+def test_ca_scell_deactivation():
+    from srsran_4g_tpu.stack.sched import CaScheduler
+    s = CaScheduler([15, 15])
+    s.ue_cfg(0x46, scells=(1,))
+    s.dl_rlc_buffer_state(0x46, 100_000)
+    s.dl_cqi_info(0x46, 10, cc_idx=0)
+    s.dl_cqi_info(0x46, 10, cc_idx=1)
+    assert any(g.rnti == 0x46 for g in s.get_dl_sched(0)[1])
+    s.scell_activate(0x46, 1, on=False)
+    s.dl_rlc_buffer_state(0x46, 100_000)
+    assert s.get_dl_sched(1)[1] == []
