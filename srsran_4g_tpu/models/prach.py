@@ -42,6 +42,11 @@ class PrachConfig:
     zero_corr_zone: int = 1  # zeroCorrelationZoneConfig (unrestricted)
     n_prb_offset: int = 0  # prach-FreqOffset
     format: int = 0
+    # NR mode (reference `prach.c` `is_nr`): the long format-0 preamble is
+    # bit-identical between LTE and NR at mu=0; the flag selects the NR
+    # RACH-occasion tables (prach_nr_tti_opportunity below) instead of the
+    # LTE prach-ConfigIndex timing.
+    is_nr: bool = False
 
     @property
     def n_cs(self) -> int:
@@ -73,6 +78,81 @@ class PrachConfig:
                     break
             i_root += 1
         return out
+
+
+# ---------------------------------------------------------------------------
+# NR PRACH (TS 38.211 §6.3.3): the reference reuses the same ZC-839 long
+# preamble engine for NR (`prach.c` `is_nr`, `prach_tables.h:450-482`); what is
+# NR-specific is the RACH occasion timing, from TS 38.211 Tables 6.3.3.2-2
+# (FR1 paired spectrum) and 6.3.3.2-3 (FR1 unpaired), all long format 0 rows —
+# exactly the subset the reference ships (`srsran_prach_nr_tti_opportunity_
+# fr1_{paired,unpaired}`, `prach.c:308-430`).
+
+
+@dataclass(frozen=True)
+class PrachNrCfg:
+    """One row of TS 38.211 Table 6.3.3.2-2/-3 (format-0 subset)."""
+
+    preamble_format: int
+    x: int                    # SFN period
+    y: int                    # SFN offset: occasion iff sfn % x == y
+    subframes: tuple[int, ...]
+    starting_symbol: int = 0
+
+
+# TS 38.211 Table 6.3.3.2-2 — FR1 paired spectrum, config indices 0..27.
+PRACH_NR_FR1_PAIRED: tuple[PrachNrCfg, ...] = tuple(
+    PrachNrCfg(0, x, y, sf, sym) for (x, y, sf, sym) in [
+        (16, 1, (1,), 0), (16, 1, (4,), 0), (16, 1, (7,), 0), (16, 1, (9,), 0),
+        (8, 1, (1,), 0), (8, 1, (4,), 0), (8, 1, (7,), 0), (8, 1, (9,), 0),
+        (4, 1, (1,), 0), (4, 1, (4,), 0), (4, 1, (7,), 0), (4, 1, (9,), 0),
+        (2, 1, (1,), 0), (2, 1, (4,), 0), (2, 1, (7,), 0), (2, 1, (9,), 0),
+        (1, 0, (1,), 0), (1, 0, (4,), 0), (1, 0, (7,), 0),
+        (1, 0, (1, 6), 0), (1, 0, (2, 7), 0), (1, 0, (3, 8), 0),
+        (1, 0, (1, 4, 7), 0), (1, 0, (2, 5, 8), 0), (1, 0, (3, 6, 9), 0),
+        (1, 0, (0, 2, 4, 6, 8), 0), (1, 0, (1, 3, 5, 7, 9), 0),
+        (1, 0, (0, 1, 2, 3, 4, 5, 6, 7, 8, 9), 0),
+    ]
+)
+
+# TS 38.211 Table 6.3.3.2-3 — FR1 unpaired spectrum, config indices 0..27.
+PRACH_NR_FR1_UNPAIRED: tuple[PrachNrCfg, ...] = tuple(
+    PrachNrCfg(0, x, y, sf, sym) for (x, y, sf, sym) in [
+        (16, 1, (9,), 0), (8, 1, (9,), 0), (4, 1, (9,), 0),
+        (2, 0, (9,), 0), (2, 1, (9,), 0), (2, 0, (4,), 0), (2, 1, (4,), 0),
+        (1, 0, (9,), 0), (1, 0, (8,), 0), (1, 0, (7,), 0), (1, 0, (6,), 0),
+        (1, 0, (5,), 0), (1, 0, (4,), 0), (1, 0, (3,), 0), (1, 0, (2,), 0),
+        (1, 0, (1, 6), 0), (1, 0, (1, 6), 7), (1, 0, (4, 9), 0),
+        (1, 0, (3, 8), 0), (1, 0, (2, 7), 0), (1, 0, (8, 9), 0),
+        (1, 0, (4, 8, 9), 0), (1, 0, (3, 4, 9), 0), (1, 0, (7, 8, 9), 0),
+        (1, 0, (3, 4, 8, 9), 0), (1, 0, (6, 7, 8, 9), 0),
+        (1, 0, (1, 4, 6, 9), 0), (1, 0, (1, 3, 5, 7, 9), 0),
+    ]
+)
+
+
+def prach_nr_cfg(config_idx: int, paired: bool = True) -> PrachNrCfg:
+    table = PRACH_NR_FR1_PAIRED if paired else PRACH_NR_FR1_UNPAIRED
+    if not 0 <= config_idx < len(table):
+        raise ValueError(f"invalid NR PRACH config index {config_idx}")
+    return table[config_idx]
+
+
+def prach_nr_tti_opportunity(config_idx: int, tti: int,
+                             paired: bool = True) -> bool:
+    """True iff `tti` (sfn*10 + subframe) is a RACH occasion.
+
+    Mirror of `srsran_prach_nr_tti_opportunity_fr1_{paired,unpaired}`
+    (reference `prach.c:308,368`).
+    """
+    cfg = prach_nr_cfg(config_idx, paired)
+    sfn, sf_idx = divmod(tti, 10)
+    return sfn % cfg.x == cfg.y and sf_idx in cfg.subframes
+
+
+def prach_nr_start_symbol(config_idx: int, paired: bool = True) -> int:
+    """Mirror of `srsran_prach_nr_start_symbol` (`prach.c:407`)."""
+    return prach_nr_cfg(config_idx, paired).starting_symbol
 
 
 @functools.lru_cache(maxsize=64)

@@ -22,6 +22,7 @@ def test_nr_sa_system_e2e():
 
     ok, stats, ue, amf = run_nr.run(n_slots=80, n_pings=2, snr_db=20.0)
     assert stats["ssb_found"] == 1
+    assert stats["prach_detected"] == 1   # exactly one preamble, no false alarms
     assert ue.nas.state == "REGISTERED"
     assert stats["pdsch_ko"] == 0 and stats["pusch_ko"] == 0
     assert stats["dl_ping_rx"] == 2 and stats["ul_ping_rx"] == 2

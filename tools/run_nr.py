@@ -5,13 +5,16 @@ against srsepc; SA has no in-repo core, so this is strictly more than
 the reference ships): slot-by-slot over the *real* jitted NR PHY —
 
   SSB broadcast -> UE SSB time-search (PCI + MIB via polar PBCH) ->
-  RRCSetup + 5G-AKA registration + NAS/AS security + PDU session over
-  PDSCH-NR / PUSCH-NR transport blocks (LDPC, type-1 DMRS chest),
-  NR MAC subPDUs, RLC-NR AM SRB1, PDCP-NR + SDAP DRB -> ciphered IP
-  ping train UE <-> UPF.
+  random access at a real FR1 RACH occasion (38.211 Table 6.3.3.2-3,
+  format-0 ZC preamble generated and detected through the PRACH engine,
+  proc_ra_nr counterpart) -> RRCSetup + 5G-AKA registration + NAS/AS
+  security + PDU session over PDSCH-NR / PUSCH-NR transport blocks
+  (LDPC, type-1 DMRS chest), NR MAC subPDUs, RLC-NR AM SRB1, PDCP-NR +
+  SDAP DRB -> ciphered IP ping train UE <-> UPF.
 
-Pass criteria: SSB found with correct PCI + MIB CRC, registration
-completes, 0 unrecovered PDSCH/PUSCH KO, 0% ping loss.
+Pass criteria: SSB found with correct PCI + MIB CRC, exactly one PRACH
+detection (the run_lte.sh criterion), registration completes,
+0 unrecovered PDSCH/PUSCH KO, 0% ping loss.
 
 Usage:  python tools/run_nr.py [--slots 200] [--pings 5] [--snr 20]
 """
@@ -132,6 +135,36 @@ def run(n_slots: int, n_pings: int, snr_db: float, verbose: bool = False):
     stats["ssb_found"] = 1
     log(f"SSB: pci={found['pci']} offset={found['offset']} MIB ok")
 
+    # ----- phase 1.5: random access (proc_ra_nr counterpart).  The UE
+    # waits for an FR1-unpaired RACH occasion from the 38.211 table, sends
+    # a format-0 preamble through the shared ZC engine; the gNB detector
+    # must see exactly that one preamble (run_lte.sh's "exactly 1 PRACH").
+    from srsran_4g_tpu.models import prach as prach_mod
+
+    prach_cfg_idx = 7           # FR1 unpaired cfg 7: subframe 9, every frame
+    ra_tti = 0
+    while not prach_mod.prach_nr_tti_opportunity(prach_cfg_idx, ra_tti,
+                                                 paired=False):
+        ra_tti += 1
+    ra_cfg = prach_mod.PrachConfig(symbol_sz=512, root_seq_index=1,
+                                   is_nr=True)
+    preamble_idx = int(rng.integers(0, 64))
+    ptx = np.asarray(prach_mod.generate(ra_cfg, preamble_idx))
+    sig_p = float(np.mean(np.abs(ptx) ** 2))
+    nvar = sig_p * 10.0 ** (-snr_db / 10.0)
+    pnoise = (rng.normal(size=ptx.shape) + 1j * rng.normal(size=ptx.shape))
+    prx = (ptx + np.sqrt(nvar / 2.0) * pnoise).astype(np.complex64)
+    # threshold 0.5: an off-grid peak's spectral leakage into the adjacent
+    # shift window reaches ~0.35 of the normalised peak; the true format-0
+    # correlation at operating SNR is > 0.9
+    pout = prach_mod.detect(ra_cfg, prx[None], threshold=0.5)
+    pdet = np.asarray(pout["detected"][0])
+    stats["prach_detected"] = int(pdet.sum())
+    if stats["prach_detected"] != 1 or not pdet[preamble_idx]:
+        return False, stats, ue, amf
+    log(f"tti {ra_tti}: PRACH preamble {preamble_idx} detected "
+        f"(ta={float(pout['delay_samples'][0][preamble_idx]):.1f} samples)")
+
     # ----- phase 2: slot loop carrying the registration + pings
     gnb.ng_setup()
     ue.connect()   # queues RRCSetupRequest on CCCH
@@ -233,6 +266,7 @@ def run(n_slots: int, n_pings: int, snr_db: float, verbose: bool = False):
             pings_sent += 1
 
     ok = (stats["ssb_found"] == 1
+          and stats.get("prach_detected") == 1
           and ue.nas.state == "REGISTERED"
           and amf.registered_ues() == [ucfg.imsi]
           and stats["pdsch_ko"] == 0 and stats["pusch_ko"] == 0
