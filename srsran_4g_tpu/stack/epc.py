@@ -185,6 +185,7 @@ class UeEmmCtx:
     ho_target_enb: int = 0
     ho_target_enb_ue: int = 0
     ho_target_teid: int = 0
+    dedicated_bearers: set = field(default_factory=set)
 
 
 class Mme:
@@ -444,8 +445,31 @@ class Mme:
             self.events.append("tau_complete")
             return []
 
+        if isinstance(nas, M.ActivateDedicatedEpsBearerAccept):
+            ue.dedicated_bearers.add(nas.eps_bearer_id)
+            self.events.append(f"dedicated_bearer_accept:{nas.eps_bearer_id}")
+            return []
+
         self.events.append(f"unhandled_nas:{type(nas).__name__}")
         return []
+
+    def activate_dedicated_bearer(self, imsi: str, ebi: int = 6,
+                                  qci: int = 1,
+                                  filters: list | None = None) -> list[bytes]:
+        """Network-initiated dedicated bearer with a TFT (the reference MME
+        has the ESM machinery in `srsepc/src/mme/nas.cc`; the UE side is
+        `tft_packet_filter.cc`).  Returns the S1AP DL NAS transport PDU."""
+        from . import tft as tft_mod
+
+        ue = next((u for u in self.ues.values() if u.imsi == imsi), None)
+        if ue is None or ue.state != "ATTACHED":
+            self.events.append("dedicated_bearer_no_ue")
+            return []
+        tft_bytes = tft_mod.pack_tft(filters or [])
+        esm = M.ActivateDedicatedEpsBearerRequest(
+            eps_bearer_id=ebi, linked_ebi=5, qci=qci, tft=tft_bytes).pack()
+        self.events.append(f"dedicated_bearer_req:{ebi}")
+        return [self._dl_nas(ue, self._protect(ue, esm))]
 
     def _tau_accept(self, ue: UeEmmCtx) -> list[bytes]:
         """TAU accept with a fresh GUTI (mme/nas.cc

@@ -48,6 +48,8 @@ MSG_EMM_INFORMATION = 0x61
 # ESM message types
 MSG_ACT_DEF_EPS_BEARER_REQ = 0xC1
 MSG_ACT_DEF_EPS_BEARER_ACCEPT = 0xC2
+MSG_ACT_DED_EPS_BEARER_REQ = 0xC5
+MSG_ACT_DED_EPS_BEARER_ACCEPT = 0xC6
 MSG_PDN_CONNECTIVITY_REQUEST = 0xD0
 
 # security header types (24.301 9.3.1)
@@ -252,6 +254,44 @@ class ActivateDefaultEpsBearerAccept:
     @classmethod
     def unpack(cls, d: bytes) -> "ActivateDefaultEpsBearerAccept":
         assert d[2] == MSG_ACT_DEF_EPS_BEARER_ACCEPT
+        return cls(eps_bearer_id=d[0] >> 4, pti=d[1])
+
+
+@dataclass
+class ActivateDedicatedEpsBearerRequest:
+    """ESM: dedicated bearer with its TFT (24.301 8.3.3; reference
+    liblte_mme.cc activate_dedicated_eps_bearer_context_request)."""
+    eps_bearer_id: int = 6
+    pti: int = 0                 # network-initiated: no PTI
+    linked_ebi: int = 5
+    qci: int = 1
+    tft: bytes = b""             # 24.008 10.5.6.12 TFT IE value
+
+    def pack(self) -> bytes:
+        return bytes([(self.eps_bearer_id << 4) | PD_ESM, self.pti,
+                      MSG_ACT_DED_EPS_BEARER_REQ, self.linked_ebi,
+                      self.qci, len(self.tft)]) + self.tft
+
+    @classmethod
+    def unpack(cls, d: bytes) -> "ActivateDedicatedEpsBearerRequest":
+        assert d[0] & 0x0F == PD_ESM and d[2] == MSG_ACT_DED_EPS_BEARER_REQ
+        n = d[5]
+        return cls(eps_bearer_id=d[0] >> 4, pti=d[1], linked_ebi=d[3],
+                   qci=d[4], tft=bytes(d[6:6 + n]))
+
+
+@dataclass
+class ActivateDedicatedEpsBearerAccept:
+    eps_bearer_id: int = 6
+    pti: int = 0
+
+    def pack(self) -> bytes:
+        return bytes([(self.eps_bearer_id << 4) | PD_ESM, self.pti,
+                      MSG_ACT_DED_EPS_BEARER_ACCEPT])
+
+    @classmethod
+    def unpack(cls, d: bytes) -> "ActivateDedicatedEpsBearerAccept":
+        assert d[2] == MSG_ACT_DED_EPS_BEARER_ACCEPT
         return cls(eps_bearer_id=d[0] >> 4, pti=d[1])
 
 
@@ -478,5 +518,9 @@ def parse(plain: bytes):
             return ActivateDefaultEpsBearerRequest.unpack(plain)
         if t == MSG_ACT_DEF_EPS_BEARER_ACCEPT:
             return ActivateDefaultEpsBearerAccept.unpack(plain)
+        if t == MSG_ACT_DED_EPS_BEARER_REQ:
+            return ActivateDedicatedEpsBearerRequest.unpack(plain)
+        if t == MSG_ACT_DED_EPS_BEARER_ACCEPT:
+            return ActivateDedicatedEpsBearerAccept.unpack(plain)
         raise ValueError(f"unknown ESM msg type 0x{t:02x}")
     raise ValueError(f"unknown protocol discriminator 0x{pd:x}")

@@ -16,6 +16,7 @@ from typing import Optional
 
 from . import nas_msgs as M
 from . import security
+from . import tft
 from .usim import Usim, UsimConfig
 
 EMM_DEREGISTERED = "DEREGISTERED"
@@ -53,6 +54,10 @@ class NasUe:
         self.ip_addr: Optional[bytes] = None
         self.guti_mtmsi = 0
         self.eps_bearer_id = 0
+        # dedicated bearers: ebi -> linked (default) ebi; UL packets are
+        # steered by the TFT matcher (gw.cc/tft_packet_filter.cc role)
+        self.dedicated_bearers: dict[int, int] = {}
+        self.tft_matcher = tft.TftMatcher()
         self.tau_pending = False
         self.events: list[str] = []
 
@@ -162,6 +167,7 @@ class NasUe:
                 if isinstance(esm, M.ActivateDefaultEpsBearerRequest):
                     self.ip_addr = esm.ip_addr
                     self.eps_bearer_id = esm.eps_bearer_id
+                    self.tft_matcher.default_bearer_id = esm.eps_bearer_id
                     accept = M.ActivateDefaultEpsBearerAccept(
                         eps_bearer_id=esm.eps_bearer_id, pti=esm.pti).pack()
                     comp = M.AttachComplete(esm_msg=accept).pack()
@@ -169,6 +175,15 @@ class NasUe:
             self.state = EMM_REGISTERED
             self.events.append("attach_complete")
             return uls
+
+        if isinstance(msg, M.ActivateDedicatedEpsBearerRequest):
+            filters = tft.parse_tft(msg.tft, msg.eps_bearer_id) \
+                if msg.tft else []
+            self.tft_matcher.apply_tft(msg.eps_bearer_id, filters)
+            self.dedicated_bearers[msg.eps_bearer_id] = msg.linked_ebi
+            self.events.append(f"dedicated_bearer:{msg.eps_bearer_id}")
+            return [self._protect(M.ActivateDedicatedEpsBearerAccept(
+                eps_bearer_id=msg.eps_bearer_id, pti=msg.pti).pack())]
 
         if isinstance(msg, M.DetachRequest):
             self.state = EMM_DEREGISTERED
