@@ -103,7 +103,9 @@ def reserved_mask(cell: CellConfig, subframe: int) -> np.ndarray:
     """(nsymb, nre) bool — True where PDSCH may NOT map: control region,
     CRS of all cell ports, PSS/SSS/PBCH (subframes 0/5)."""
     mask = np.zeros((cell.nsymb, cell.nre), dtype=bool)
-    mask[: cell.cfi, :] = True  # PDCCH/PCFICH/PHICH control region
+    # ≤10 PRB cells use CFI+1 control symbols (36.211 §6.7)
+    nctrl = cell.cfi + 1 if cell.nof_prb <= 10 else cell.cfi
+    mask[:nctrl, :] = True  # PDCCH/PCFICH/PHICH control region
     for p in range(cell.nof_ports):
         syms, scs = crs_pattern(cell, p)
         for s, k in zip(syms, scs):

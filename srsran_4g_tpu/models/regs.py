@@ -76,17 +76,25 @@ def pdcch_regs(cell: G.CellConfig, cfi: int, ng: float = 1.0) -> np.ndarray:
     (k first, then l — TS 36.211 §6.8.5)."""
     pcfich_ks = set(pcfich_re_indices(cell).tolist())
     phich_res = set(phich_reg_indices(cell, ng).reshape(-1).tolist())
-    entries = []  # (k_first, l, flat_res)
-    for l in range(cfi):
+    entries = []  # (k0_nominal, l, flat_res)
+    # ≤10 PRB cells signal CFI but use CFI+1 control symbols (36.211 §6.7,
+    # reference regs.c nof_ctrl_symbols)
+    nsyms = cfi + 1 if cell.nof_prb <= 10 else cfi
+    for l in range(nsyms):
         regs = regs_in_symbol(cell, l)
-        for r in regs:
+        n_per_prb = regs.shape[0] // cell.nof_prb
+        for j, r in enumerate(regs):
             flat = l * cell.nre + r
             if l == 0:
                 if set(r.tolist()) & pcfich_ks:
                     continue
                 if set(flat.tolist()) & phich_res:
                     continue
-            entries.append((int(r[0]), l, flat))
+            # nominal REG start (reference regs_reg_init k0 = j*12/n), not
+            # the first non-CRS subcarrier — the (k, l) sort uses this
+            prb, jj = divmod(j, n_per_prb)
+            k0 = prb * C.NRE + jj * (C.NRE // n_per_prb)
+            entries.append((k0, l, flat))
     entries.sort(key=lambda e: (e[0], e[1]))
     return np.stack([e[2] for e in entries])
 
@@ -103,9 +111,13 @@ def pdcch_interleave_order(cell: G.CellConfig, cfi: int, ng: float = 1.0) -> np.
     y = np.full(kp, -1, dtype=np.int64)
     y[nd:] = np.arange(n_regs)
     v = y.reshape(rows, 32)[:, C.RM_PERM_CC].T.reshape(-1)
-    w = v[v >= 0]  # interleaved quadruplet order, length n_regs
-    # cyclic shift by cell id
-    shifted = np.roll(w, -(cell.cell_id % n_regs))
+    w = v[v >= 0]  # interleaver output: w[p] = quadruplet index at position p
+    # 36.211 §6.8.5: physical REG i (k,l order) carries z(i) = w((i+N_ID) mod M),
+    # so quadruplet q lands on REG (w^-1(q) - N_ID) mod M (reference
+    # regs.c:114-127 semantics).
+    pos = np.empty(n_regs, dtype=np.int64)
+    pos[w] = np.arange(n_regs)
+    shifted = (pos - cell.cell_id) % n_regs
     return shifted  # quadruplet i → REG shifted[i]
 
 
