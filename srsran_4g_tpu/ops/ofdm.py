@@ -37,6 +37,15 @@ class OfdmConfig:
     normal_cp: bool = True
     skip_dc: bool = True
     rx_window_offset: float = 0.0  # fraction of the normal-symbol CP
+    # NB-IoT anchor carriers sit half a subcarrier off the channel centre:
+    # the time signal is de-rotated by exp(-jπ(t-cp)/N) per symbol before
+    # the FFT and subcarriers map symmetrically with no DC null
+    # (reference ofdm.c srsran_ofdm_set_freq_shift, factor -0.5).
+    half_sc_shift: bool = False
+
+    def __post_init__(self):
+        if self.half_sc_shift:
+            object.__setattr__(self, "skip_dc", False)
 
     @property
     def nre(self) -> int:
@@ -116,6 +125,22 @@ def _window_phase(cfg: OfdmConfig) -> np.ndarray | None:
     return ramp
 
 
+@functools.lru_cache(maxsize=8)
+def _half_sc_ramp(cfg: OfdmConfig) -> np.ndarray:
+    """(sf_len,) de-rotation ramp for the NB-IoT -0.5-subcarrier offset:
+    exp(j·2π·(t-cp_len)·(-0.5)/N) per symbol, phase zero at the first
+    body sample (reference ofdm.c freq-shift buffer)."""
+    n = cfg.symbol_sz
+    ramp = np.empty(cfg.sf_len, np.complex64)
+    pos = 0
+    for l in range(cfg.nsymb_sf):
+        cp = cfg.cp_len(l % cfg.nsymb_slot)
+        t = np.arange(cp + n, dtype=np.float64) - cp
+        ramp[pos:pos + cp + n] = np.exp(-1j * np.pi * t / n)
+        pos += cp + n
+    return ramp
+
+
 def modulate(cfg: OfdmConfig, grid: jnp.ndarray) -> jnp.ndarray:
     """OFDM-modulate a resource grid into time samples.
 
@@ -141,7 +166,10 @@ def modulate(cfg: OfdmConfig, grid: jnp.ndarray) -> jnp.ndarray:
         cp = cfg.cp_len(l % cfg.nsymb_slot)
         sym = time[..., l, :]
         pieces.append(jnp.concatenate([sym[..., n - cp:], sym], axis=-1))
-    return jnp.concatenate(pieces, axis=-1)
+    out = jnp.concatenate(pieces, axis=-1)
+    if cfg.half_sc_shift:
+        out = out * jnp.conj(jnp.asarray(_half_sc_ramp(cfg)))
+    return out
 
 
 def demodulate(cfg: OfdmConfig, samples: jnp.ndarray) -> jnp.ndarray:
@@ -154,6 +182,8 @@ def demodulate(cfg: OfdmConfig, samples: jnp.ndarray) -> jnp.ndarray:
       (..., nsymb_sf, nre) complex64 grid.
     """
     n = cfg.symbol_sz
+    if cfg.half_sc_shift:
+        samples = samples * jnp.asarray(_half_sc_ramp(cfg))
     idx = jnp.asarray(_gather_index(cfg))
     syms = samples[..., idx]  # (..., nsymb_sf, symbol_sz)
     freq = jnp.fft.fft(syms, axis=-1).astype(jnp.complex64) / jnp.sqrt(

@@ -117,17 +117,22 @@ def test_nsss_cell_id(cid):
     assert int(nbiot.nsss_detect(rx)["cell_id"][0]) == cid
 
 
-def test_npbch_roundtrip():
+@pytest.mark.parametrize("frame_idx,r14", [(0, False), (12, False), (35, True)])
+def test_npbch_roundtrip(frame_idx, r14):
     mib = jnp.asarray(np.random.default_rng(0).integers(
         0, 2, (3, nbiot.MIB_NB_LEN)).astype(np.int8))
-    tx = nbiot.npbch_encode(257, mib)
+    tx = nbiot.npbch_encode(257, mib, frame_idx=frame_idx, is_r14=r14)
     nv = float(snr_to_noise_var(8.0))
     rx = awgn(jax.random.PRNGKey(7), tx, nv)
-    out = nbiot.npbch_decode(257, rx, noise_var=nv)
+    block = (frame_idx // nbiot.NPBCH_REP) % nbiot.NPBCH_BLOCKS
+    out = nbiot.npbch_decode(257, rx, block_idx=block, nf=frame_idx,
+                             is_r14=r14)
     assert bool(np.asarray(out["crc_ok"]).all())
     assert (np.asarray(out["mib"]) == np.asarray(mib)).all()
+    assert (np.asarray(out["n_ports"]) == 1).all()
     # wrong cell id -> descramble fails
-    bad = nbiot.npbch_decode(11, rx, noise_var=nv)
+    bad = nbiot.npbch_decode(11, rx, block_idx=block, nf=frame_idx,
+                             is_r14=r14)
     assert not np.asarray(bad["crc_ok"]).any()
 
 

@@ -134,3 +134,34 @@ class TestAmarFile:
             if bool(out["found"][0]):
                 found.append(sf)
         assert found == [2, 5]
+
+
+# --------------------------------------------------- NB-IoT NPBCH captures
+
+class TestNpbchFiles:
+    """npbch_file_test on the four committed NB-IoT captures
+    (phch/test/CMakeLists.txt:168-171): real Amarisoft R13 capture plus
+    R13/R14 single-frame captures with different cell ids, repetition
+    blocks and port counts. Pass criterion: MIB-NB CRC OK
+    (npbch_file_test.c:229 nof_decoded_mibs > 0)."""
+
+    CASES = [
+        # (file, n_id_ncell, block/nf, is_r14, expect_ports, expect_sfn_msb)
+        ("signal_nbiot_amari_nid0_sfn514_sib2.bin", 0, 0, False, 1, 512),
+        ("signal_nbiot_nid256_r14_sf0.bin", 256, 0, True, 2, 832),
+        ("signal_nbiot_nid257_r13_sf0.bin", 257, 4, False, 1, 64),
+        ("signal_nbiot_nid257_r14_sf0.bin", 257, 7, True, 2, 384),
+    ]
+
+    @pytest.mark.parametrize("fn,cid,nf,r14,ports,sfn", CASES)
+    def test_mib_nb_decodes(self, fn, cid, nf, r14, ports, sfn):
+        from srsran_4g_tpu.models import nbiot
+
+        x = np.fromfile(f"{REF}/{fn}", dtype=np.complex64)
+        cfg = ofdm.OfdmConfig(nof_prb=1, half_sc_shift=True)
+        g = ofdm.demodulate(cfg, jnp.asarray(x[:cfg.sf_len])[None])
+        out = nbiot.npbch_decode(cid, g, block_idx=nf, nf=nf, is_r14=r14)
+        assert bool(out["crc_ok"][0])
+        assert int(out["n_ports"][0]) == ports
+        mib = nbiot.mib_nb_unpack(out["mib"][0])
+        assert mib["sfn_msb"] == sfn
