@@ -4,9 +4,10 @@ Headline metric (BASELINE.md): subframes/s of the full 20 MHz (100 PRB)
 PDSCH receiver — channel estimation, MMSE equalisation, 64QAM soft demod,
 descrambling, rate dematching and windowed max-log-MAP turbo decode with CRC
 check — batched over subframes.  vs_baseline is measured against the
-reference's implicit real-time budget of 1000 subframes/s (srsRAN processes
-one 1 ms subframe per 1 ms across its worker pipeline; see
-BASELINE.md "Real-time budget", srsenb/src/phy/txrx.cc:140).
+reference's MEASURED host-aggregate throughput at the same configuration:
+8,790 subframes/s (pdsch_test -n 100 -m 28, noiseless + CRC early stop,
+2 processes saturating this host's 2 AVX-512 cores — BASELINE.md
+"Measured reference baseline").
 
 Prints exactly ONE JSON line on stdout; details go to stderr.
 """
@@ -88,7 +89,7 @@ def main() -> None:
         "metric": "pdsch_rx_subframes_per_sec_20mhz_64qam",
         "value": round(sf_per_s, 2),
         "unit": "subframes/s",
-        "vs_baseline": round(sf_per_s / 1000.0, 3),
+        "vs_baseline": round(sf_per_s / 8790.0, 3),
     }
     print(
         f"bench: {sf_per_s:.1f} sf/s ({sf_per_s * cfg.tbs / 1e6:.1f} Mb/s info"
@@ -157,7 +158,7 @@ def main_mimo() -> None:
     print(json.dumps({
         "metric": "pdsch_mimo2x2_rx_subframes_per_sec_20mhz_64qam",
         "value": round(sf_per_s, 2), "unit": "subframes/s",
-        "vs_baseline": round(sf_per_s / 1000.0, 3)}))
+        "vs_baseline": round(sf_per_s / 8790.0, 3)}))
 
 
 if __name__ == "__main__":
