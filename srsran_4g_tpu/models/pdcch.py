@@ -165,4 +165,5 @@ def blind_decode(
     found = jnp.any(ok, axis=-1)
     cand_idx = jnp.argmax(ok, axis=-1)
     dci = jnp.take_along_axis(payload, cand_idx[:, None, None], axis=1)[:, 0]
-    return dict(found=found, dci=dci, candidate=cand_idx, ok_per_candidate=ok)
+    return dict(found=found, dci=dci, candidate=cand_idx, ok_per_candidate=ok,
+                payload_per_candidate=payload)

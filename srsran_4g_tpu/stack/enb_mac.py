@@ -1,0 +1,291 @@
+"""eNB MAC entity: RACH → RAR → scheduler-driven grant + PDU assembly.
+
+Counterpart of the reference's `srsenb/src/stack/mac/mac.cc`: the FAPI-like
+surface the PHY pulls from every TTI (`get_dl_sched` mac.cc:639,
+`get_ul_sched`, `rach_detected` mac.cc:560, `crc_info` mac.cc:308,
+`push_pdu` mac.cc:326) plus what the reference does per grant in
+`ue::generate_pdu` (mac.cc:686): assemble the DL MAC PDU from pending
+control elements and the per-UE RLC entities.
+
+The entity owns per-RNTI RLC bearers and DL HARQ PDU buffers (for
+retransmission without re-reading RLC), allocates C-RNTIs at RACH time,
+carries contention resolution, and drives the DL/UL schedulers of
+`stack/sched.py`.  Every produced item carries the packed DCI so the PHY
+can transmit the grant over PDCCH — nothing is handed to the UE
+out-of-band.
+
+Msg3 convention: the RAR UL grant field packs (riv << 5) | mcs for the
+cell bandwidth, a compact rendering of the reference's 20-bit RAR grant
+(36.213 §6.2 / mac_pdu RAR subheader).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from srsran_4g_tpu.models import dci as dci_mod, ra
+from srsran_4g_tpu.stack import mac_pdu, sched
+from srsran_4g_tpu.stack.rlc_am import RlcAm
+from srsran_4g_tpu.stack.rlc_um import RlcTm
+
+MSG3_DELAY = 4      # RAR at n → msg3 PUSCH at n+4 (36.213 §6.1.1)
+MSG3_PRB = 2
+MSG3_PRB_START = 2  # clear of the PUCCH format-2 (PRB 0) and format-1 regions
+MSG3_MCS = 2
+RAR_PRB = 3
+RAR_MCS = 0
+
+
+def pack_rar_ul_grant(nof_prb: int, prb_start: int, prb_len: int,
+                      mcs: int) -> int:
+    return (ra.riv_encode(nof_prb, prb_len, prb_start) << 5) | mcs
+
+
+def unpack_rar_ul_grant(nof_prb: int, g: int) -> tuple[int, int, int, int]:
+    """→ (prb_start, prb_len, mcs, tbs)."""
+    mcs = g & 0x1F
+    l_crbs, rb_start = ra.riv_decode(nof_prb, g >> 5)
+    tbs = ra.tbs_from_itbs(ra.ul_mcs_to_itbs(mcs), l_crbs)
+    return rb_start, l_crbs, mcs, tbs
+
+
+@dataclass
+class DlSchedItem:
+    """One DL allocation the PHY must transmit this TTI."""
+
+    grant: sched.DlGrant
+    pdu: bytes                    # MAC PDU (grant.tbs // 8 bytes)
+    dci: dci_mod.Dci1A
+    is_rar: bool = False          # rnti field is the RA-RNTI
+
+
+@dataclass
+class UlSchedItem:
+    grant: sched.UlGrant
+    dci: Optional[dci_mod.Dci0]   # None for msg3 (granted via the RAR)
+    is_msg3: bool = False
+
+
+@dataclass
+class _EnbUe:
+    rnti: int
+    rlc: dict[int, object] = field(default_factory=dict)
+    pending_ces: list[tuple[int, bytes]] = field(default_factory=list)
+    dl_pdu_buf: dict[int, bytes] = field(default_factory=dict)
+    con_res_done: bool = False
+    msg3_tti: Optional[int] = None
+
+
+def _rlc_buffered_bytes(ent) -> int:
+    q = getattr(ent, "sdu_q", None)
+    n = sum(len(s) for s in q) if q else 0
+    if getattr(ent, "retx_q", None):
+        n += 64
+    if n == 0 and ent.has_data():
+        n = 64
+    return n
+
+
+class EnbMac:
+    """The eNB MAC entity (mac.cc + per-UE RLC adapters)."""
+
+    def __init__(self, nof_prb: int, dl_policy: str = "pf",
+                 prb_quant: bool = False, first_rnti: int = 0x46) -> None:
+        self.nof_prb = nof_prb
+        self.dl_sched = sched.DlScheduler(nof_prb, policy=dl_policy)
+        self.ul_sched = sched.UlScheduler(nof_prb)
+        self.prb_quant = prb_quant
+        self.ues: dict[int, _EnbUe] = {}
+        self.next_rnti = first_rnti
+        # (preamble, temp_crnti, ra_rnti)
+        self._pending_rar: list[tuple[int, int, int]] = []
+        self._pending_msg3: list[tuple[int, sched.UlGrant]] = []  # (due_tti, g)
+        # upper-layer callbacks (eNB RRC / user plane)
+        self.rx_ccch: Callable[[int, bytes], int] = lambda rnti, pdu: rnti
+        self.rx_dcch: Callable[[int, int, bytes], None] = lambda *_: None
+        self.rx_drb: Callable[[int, int, bytes], None] = lambda *_: None
+        self.metrics = {"rach": 0, "dl_tx": 0, "dl_retx": 0, "ul_crc_ok": 0,
+                        "ul_crc_ko": 0}
+
+    # -- bearers -----------------------------------------------------------
+
+    def add_bearer(self, rnti: int, lcid: int, mode: str = "am") -> None:
+        ue = self.ues[rnti]
+        ue.rlc[lcid] = RlcTm() if mode == "tm" else RlcAm()
+
+    def write_dl_sdu(self, rnti: int, lcid: int, sdu: bytes) -> None:
+        """RLC SDU from RRC/PDCP to be scheduled for DL."""
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        if lcid not in ue.rlc:
+            self.add_bearer(rnti, lcid, "tm" if lcid == 0 else "am")
+        ue.rlc[lcid].write_sdu(sdu)
+
+    def _dl_buffer_bytes(self, ue: _EnbUe) -> int:
+        n = sum(_rlc_buffered_bytes(e) for e in ue.rlc.values())
+        n += sum(len(p) + 1 for _, p in ue.pending_ces)
+        return n
+
+    # -- RACH (mac.cc rach_detected:560) ------------------------------------
+
+    def rach_detected(self, tti: int, preamble: int) -> int:
+        """PRACH detection from the PHY; returns the allocated temp C-RNTI."""
+        rnti = self.next_rnti
+        self.next_rnti += 1
+        ue = _EnbUe(rnti=rnti)
+        ue.rlc[0] = RlcTm()
+        self.ues[rnti] = ue
+        self.dl_sched.ue_cfg(rnti)
+        self.ul_sched.ue_cfg(rnti)
+        # RA-RNTI = 1 + t_id of the PRACH subframe (36.321 §5.1.4)
+        self._pending_rar.append((preamble, rnti, 1 + tti % 10))
+        self.metrics["rach"] += 1
+        return rnti
+
+    # -- PHY pull surface ----------------------------------------------------
+
+    def get_dl_sched(self, tti: int) -> list[DlSchedItem]:
+        items: list[DlSchedItem] = []
+        # 1) RAR subframes take precedence (common search space, RA-RNTI)
+        if self._pending_rar:
+            preamble, temp_crnti, ra_rnti = self._pending_rar.pop(0)
+            ue = self.ues[temp_crnti]
+            ue.msg3_tti = tti + MSG3_DELAY
+            ul_grant = pack_rar_ul_grant(
+                self.nof_prb, MSG3_PRB_START, MSG3_PRB, MSG3_MCS)
+            rar = mac_pdu.pack_rar([mac_pdu.RarGrant(
+                rapid=preamble, ta=2, ul_grant=ul_grant,
+                temp_crnti=temp_crnti)])
+            msg3_tbs = ra.tbs_from_itbs(ra.ul_mcs_to_itbs(MSG3_MCS), MSG3_PRB)
+            self._pending_msg3.append((ue.msg3_tti, sched.UlGrant(
+                rnti=temp_crnti, harq_pid=ue.msg3_tti % 8, mcs=MSG3_MCS,
+                tbs=msg3_tbs, prb_start=MSG3_PRB_START, prb_len=MSG3_PRB,
+                rv=0, ndi=0, is_retx=False)))
+            tbs = ra.dl_tbs(RAR_MCS, RAR_PRB)
+            grant = sched.DlGrant(rnti=ra_rnti, harq_pid=0, mcs=RAR_MCS,
+                                  tbs=tbs, prb_mask=tuple(range(RAR_PRB)),
+                                  rv=0, ndi=0, is_retx=False)
+            d = dci_mod.Dci1A(rb_start=0, l_crbs=RAR_PRB, mcs=RAR_MCS,
+                              harq_pid=0, ndi=0, rv=0)
+            items.append(DlSchedItem(grant=grant, pdu=rar.ljust(tbs // 8, b"\0"),
+                                     dci=d, is_rar=True))
+            return items
+
+        # 2) regular scheduling
+        for rnti, ue in self.ues.items():
+            self.dl_sched.dl_rlc_buffer_state(rnti, self._dl_buffer_bytes(ue))
+        for g in self.dl_sched.get_dl_sched(tti):
+            ue = self.ues[g.rnti]
+            if g.is_retx:
+                pdu = ue.dl_pdu_buf.get(g.harq_pid, bytes(g.tbs // 8))
+                self.metrics["dl_retx"] += 1
+            else:
+                pdu = self._generate_pdu(ue, g.tbs // 8)
+                ue.dl_pdu_buf[g.harq_pid] = pdu
+                self.metrics["dl_tx"] += 1
+            rb_start = min(g.prb_mask)
+            d = dci_mod.Dci1A(rb_start=rb_start, l_crbs=len(g.prb_mask),
+                              mcs=g.mcs, harq_pid=g.harq_pid, ndi=g.ndi,
+                              rv=g.rv)
+            items.append(DlSchedItem(grant=g, pdu=pdu, dci=d))
+        return items
+
+    def get_ul_sched(self, tti: int) -> list[UlSchedItem]:
+        items: list[UlSchedItem] = []
+        due = [m for m in self._pending_msg3 if m[0] <= tti]
+        self._pending_msg3 = [m for m in self._pending_msg3 if m[0] > tti]
+        for _, g in due:
+            items.append(UlSchedItem(grant=g, dci=None, is_msg3=True))
+        for g in self.ul_sched.get_ul_sched(tti):
+            d = dci_mod.Dci0(rb_start=g.prb_start, l_crbs=g.prb_len,
+                             mcs=g.mcs, ndi=g.ndi)
+            items.append(UlSchedItem(grant=g, dci=d))
+        return items
+
+    # -- PDU assembly (mac.cc ue::generate_pdu:686) --------------------------
+
+    def _generate_pdu(self, ue: _EnbUe, nof_bytes: int) -> bytes:
+        pdu = mac_pdu.MacPdu()
+        budget = nof_bytes
+        while ue.pending_ces and budget >= 7:
+            lcid, payload = ue.pending_ces.pop(0)
+            pdu.add_ce(lcid, payload)
+            budget -= len(payload) + 1
+        for lcid in sorted(ue.rlc):
+            ent = ue.rlc[lcid]
+            while ent.has_data() and budget > 3:
+                sdu = ent.read_pdu(budget - 3)
+                if not sdu:
+                    break
+                pdu.add_sdu(lcid, sdu)
+                budget -= len(sdu) + 3
+        return mac_pdu.pack(pdu, nof_bytes)
+
+    # -- UL ingress (mac.cc crc_info:308 / push_pdu:326) ---------------------
+
+    def crc_info(self, tti: int, rnti: int, pid: int, ok: bool) -> None:
+        self.metrics["ul_crc_ok" if ok else "ul_crc_ko"] += 1
+        self.ul_sched.ul_crc_info(rnti, pid, ok)
+
+    def push_pdu(self, rnti: int, raw: bytes) -> None:
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        up = mac_pdu.unpack(raw, ul=True)
+        for sub in up.subpdus:
+            if not sub.is_sdu:
+                if sub.lcid in (mac_pdu.LCID_SHORT_BSR, mac_pdu.LCID_TRUNC_BSR) \
+                        and sub.payload:
+                    idx = sub.payload[0] & 0x3F
+                    from srsran_4g_tpu.stack.ue_mac import BSR_TABLE
+                    self.ul_sched.ul_bsr(rnti, BSR_TABLE[idx])
+                elif sub.lcid == mac_pdu.LCID_LONG_BSR and len(sub.payload) >= 3:
+                    v = int.from_bytes(sub.payload[:3], "big")
+                    from srsran_4g_tpu.stack.ue_mac import BSR_TABLE
+                    total = sum(BSR_TABLE[(v >> s) & 0x3F]
+                                for s in (18, 12, 6, 0))
+                    self.ul_sched.ul_bsr(rnti, total)
+                continue
+            if sub.lcid == 0:
+                if ue.con_res_done:
+                    continue  # duplicate msg3 (HARQ retx of CCCH)
+                ue.con_res_done = True
+                ue.pending_ces.append(
+                    (mac_pdu.LCID_CON_RES, sub.payload[:6].ljust(6, b"\0")))
+                self.rx_ccch(rnti, sub.payload)
+            elif sub.lcid in (1, 2):
+                ent = ue.rlc.setdefault(sub.lcid, RlcAm())
+                n0 = len(ent.delivered)
+                ent.write_pdu(sub.payload)
+                for sdu in ent.delivered[n0:]:
+                    self.rx_dcch(rnti, sub.lcid, sdu)
+            else:
+                ent = ue.rlc.setdefault(sub.lcid, RlcAm())
+                n0 = len(ent.delivered)
+                ent.write_pdu(sub.payload)
+                for sdu in ent.delivered[n0:]:
+                    self.rx_drb(rnti, sub.lcid, sdu)
+
+    # -- feedback ------------------------------------------------------------
+
+    def dl_ack_info(self, rnti: int, pid: int, ack: bool) -> None:
+        if rnti not in self.dl_sched.ues:
+            return
+        self.dl_sched.dl_ack_info(rnti, pid, ack)
+        if ack:
+            self.ues[rnti].dl_pdu_buf.pop(pid, None)
+
+    def dl_cqi_info(self, rnti: int, cqi: int) -> None:
+        if rnti in self.dl_sched.ues:
+            self.dl_sched.dl_cqi_info(rnti, cqi)
+
+    def ul_bsr(self, rnti: int, nof_bytes: int) -> None:
+        self.ul_sched.ul_bsr(rnti, nof_bytes)
+
+    def tick(self, ms: int = 1) -> None:
+        for ue in self.ues.values():
+            for ent in ue.rlc.values():
+                if hasattr(ent, "tick"):
+                    ent.tick(ms)

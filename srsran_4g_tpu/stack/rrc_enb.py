@@ -93,8 +93,14 @@ class RrcEnb:
         """CCCH from a just-RACHed UE; returns the allocated C-RNTI."""
         msg = R.unpack_ul_ccch(pdu)
         if isinstance(msg, R.RrcConnectionRequest):
-            rnti = self.next_rnti
-            self.next_rnti += 1
+            # the MAC allocated the C-RNTI at RACH time (mac.cc
+            # rach_detected); standalone use (tmp_rnti=0) self-allocates
+            if tmp_rnti:
+                rnti = tmp_rnti
+                self.next_rnti = max(self.next_rnti, rnti + 1)
+            else:
+                rnti = self.next_rnti
+                self.next_rnti += 1
             ue = UeCtx(rnti, self.next_enb_ue_id)
             self.next_enb_ue_id += 1
             self.ues[rnti] = ue

@@ -84,9 +84,11 @@ class UlScheduler:
     """UL counterpart (sched_ue UL grants + ul_crc_info ARQ); the grant
     for TTI n is transmitted in n+4 (FDD_HARQ_DELAY)."""
 
-    def __init__(self, nof_prb: int, policy: str = "rr") -> None:
+    def __init__(self, nof_prb: int, policy: str = "rr",
+                 edge_guard: int = 1) -> None:
         self.nof_prb = nof_prb
         self.policy = policy
+        self.edge_guard = edge_guard  # PUCCH region PRBs at both band edges
         self.ues: dict[int, UeCtx] = {}
 
     def ue_cfg(self, rnti: int) -> None:
@@ -119,31 +121,32 @@ class UlScheduler:
                 ue.pending_retx.append(pid % N_HARQ)
 
     def get_ul_sched(self, tti: int) -> list[UlGrant]:
+        """Grants signalled at `tti` for PUSCH at tti+4.  UL HARQ is
+        synchronous (36.213 §8): the process id is (tti+4) mod 8 on both
+        sides, so a retransmission can only be granted when its process
+        comes around again."""
         grants: list[UlGrant] = []
+        pid = (tti + 4) % N_HARQ
         # PUCCH guard PRBs at both band edges (sched_grid.cc)
-        lo, hi = 1, self.nof_prb - 1
-        # 1) retransmissions (non-adaptive: same allocation size)
+        lo, hi = self.edge_guard, self.nof_prb - self.edge_guard
         for ue in self.ues.values():
-            while ue.pending_retx and lo < hi:
-                pid = ue.pending_retx.pop(0)
-                h = ue.harq[pid]
+            h = ue.harq[pid]
+            # 1) synchronous retransmission of this TTI's process
+            if pid in ue.pending_retx:
                 n = max(1, len(h.prb_mask))
                 if n > hi - lo:
-                    ue.pending_retx.insert(0, pid)
-                    break
+                    continue
+                ue.pending_retx.remove(pid)
                 grants.append(UlGrant(
                     rnti=ue.rnti, harq_pid=pid, mcs=h.mcs, tbs=h.tbs,
                     prb_start=lo, prb_len=n, rv=_RV_SEQ[h.n_retx % 4],
                     ndi=h.ndi, is_retx=True))
                 h.prb_mask = tuple(range(lo, lo + n))
                 lo += n
-        # 2) new transmissions (RR in time domain)
-        cand = [u for u in self.ues.values()
-                if u.buffer_bytes > 0 and u.free_harq() is not None]
-        cand.sort(key=lambda u: (tti + u.rnti) % max(len(self.ues), 1))
-        for ue in cand:
-            if lo >= hi:
-                break
+                continue
+            # 2) new transmission on a free process
+            if h.active or ue.buffer_bytes <= 0 or lo >= hi:
+                continue
             mcs = min(_CQI_TO_MCS[ue.cqi], 24)
             want = ue.buffer_bytes * 8 + 32
             n = hi - lo
@@ -152,8 +155,6 @@ class UlScheduler:
                     n = k
                     break
             tbs = ra.tbs_from_itbs(ra.ul_mcs_to_itbs(mcs), n)
-            pid = ue.free_harq()
-            h = ue.harq[pid]
             h.active, h.tbs, h.mcs = True, tbs, mcs
             h.prb_mask = tuple(range(lo, lo + n))
             h.n_retx, h.ndi = 0, h.ndi ^ 1

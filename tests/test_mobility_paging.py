@@ -85,9 +85,11 @@ def test_ul_scheduler_grants_and_arq():
     g = grants[0]
     assert g.tbs >= 2000 * 8 or g.prb_len == 48  # meets BSR or max alloc
     assert 1 <= g.prb_start and g.prb_start + g.prb_len <= 49  # PUCCH guard
-    # CRC KO -> non-adaptive retx with rv 2
+    assert g.harq_pid == 4  # synchronous UL HARQ: pid = (tti+4) % 8
+    # CRC KO -> non-adaptive retx with rv 2, 8 TTIs later (same process)
     s.ul_crc_info(0x46, g.harq_pid, False)
-    r = s.get_ul_sched(tti=1)[0]
+    assert not s.get_ul_sched(tti=1)  # process 5 has nothing pending
+    r = s.get_ul_sched(tti=8)[0]
     assert r.is_retx and r.rv == 2 and r.tbs == g.tbs
     # CRC OK clears the process
     s.ul_crc_info(0x46, g.harq_pid, True)

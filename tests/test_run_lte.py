@@ -1,23 +1,51 @@
 """System E2E test over the real PHY (counterpart of test/run_lte.sh).
 
-Runs the full network — PRACH detect, RRC attach with AKA + SMC, DRB
-setup, ciphered ping train — through the jitted PDSCH/PUSCH/PRACH
-chains at 15 PRB on CPU, and asserts the reference's pass criteria:
-attach OK, exactly 1 PRACH, 0 PHY KO, 0% ping loss.
+Runs the full network — PRACH detect, RAR + msg3, contention resolution,
+RRC attach with AKA + SMC, DRB setup, ciphered ping train — where every
+grant travels over the air: eNB MAC scheduler → DCI on PDCCH → UE blind
+decode → PDSCH/PUSCH, HARQ-ACK + SR + CQI on PUCCH (the reference's
+mac.cc:639 → cc_worker.cc:259-301 contract).  Pass criteria mirror
+run_lte.sh:82-160: attach OK, exactly 1 PRACH per UE, 0 unrecovered PHY
+KO, 0% ping loss, CQI at target.
+
+The PRB matrix mirrors the reference's test/CMakeLists.txt:27-33
+(6/15/25/50/75/100 PRB).
 """
 
-import sys
 import os
+import sys
+
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 
-def test_full_system_attach_and_ping():
+def _run(prb: int, ues: int, ttis: int, pings: int = 2):
     import run_lte
 
-    ok, stats, nas, mme = run_lte.run(n_ttis=120, n_pings=3, snr_db=20.0)
-    assert nas.is_registered()
-    assert stats["prach"] == 1
-    assert stats["pdsch_ko"] == 0 and stats["pusch_ko"] == 0
-    assert stats["dl_ping_rx"] == 3 and stats["ul_ping_rx"] >= 3
+    ok, stats, ue_nodes, mme = run_lte.run(
+        n_ttis=ttis, n_pings=pings, snr_db=30.0, nof_prb=prb, n_ues=ues)
+    assert all(u.nas.is_registered() for u in ue_nodes), stats
+    assert stats["prach"] == ues
+    assert stats["pdsch_ko"] == 0 and stats["pusch_ko"] == 0, stats
+    assert stats["dl_ping_rx"] == pings * ues, stats
+    assert stats["ul_ping_rx"] >= pings * ues, stats
+    # every grant travelled via PDCCH
+    assert stats["dci_tx"] >= stats["pdsch_tx"], stats
+    # reference criterion: CQI at target after the first report
+    for u in ue_nodes:
+        assert all(c >= 13 for c in u.cqi_sent[1:]), u.cqi_sent
     assert ok
+    return stats, ue_nodes
+
+
+def test_two_ue_attach_and_ping_6prb():
+    """Main case: 2 UEs, full OTA control loop, 6 PRB."""
+    stats, ues = _run(prb=6, ues=2, ttis=220)
+    # distinct C-RNTIs allocated at RACH
+    assert len({u.crnti for u in ues}) == 2
+
+
+@pytest.mark.parametrize("prb", [15, 50, 100])
+def test_prb_matrix_single_ue(prb):
+    _run(prb=prb, ues=1, ttis=140)

@@ -1,21 +1,23 @@
-"""Full-system E2E: UE <-> eNB over the TPU PHY + EPC, with pass criteria.
+"""Full-system E2E: multi-UE <-> eNB over the TPU PHY with OTA control.
 
 The framework's counterpart of the reference's system test
-`test/run_lte.sh` (srsEPC + srsENB + srsUE over ZMQ RF + netns, then
-assert 0% ping loss / zero PHY KO / exactly 1 PRACH).  Here the three
-nodes run as Python entities wired through the *real* PHY chain:
+`test/run_lte.sh` (srsEPC + srsENB + srsUE over ZMQ RF + netns).  Unlike
+round 1, EVERY grant now travels over the air exactly as in the
+reference's `srsenb/src/stack/mac/mac.cc:639` → `srsue/src/phy/lte/
+cc_worker.cc:259-301` contract:
 
-  eNB stack -> MAC PDU -> PDSCH encode -> AWGN channel -> UE PDSCH
-  decode -> UE MAC/RLC/PDCP/RRC/NAS, and the reverse over PRACH/PUSCH;
-  S1AP between eNB and MME; GTP-U-level forwarding in the SPGW.
+  eNB MAC scheduler → DCI 1A/0 pack → PDCCH encode (CCE allocation) →
+  OFDM → AWGN → UE blind decode over its search space → PDSCH/PUSCH at
+  the granted allocation → HARQ-ACK on PUCCH format 1a at n_pucch =
+  first CCE → scheduler dl_ack_info; SR on PUCCH format 1 requests UL
+  grants; wideband CQI on PUCCH format 2 drives the scheduler's MCS.
 
-The whole radio session — random access (PRACH correlate/detect), RRC
-connection, AKA + SMC security, DRB setup, ciphered IP ping loop — runs
-TTI by TTI over the jitted PHY.  Pass criteria mirror run_lte.sh:
-attach completes, exactly one PRACH detection, zero unrecovered PDSCH/
-PUSCH KO, 0% ping loss.
+Pass criteria mirror run_lte.sh:82-160: every UE attaches, exactly one
+PRACH per UE, zero unrecovered PDSCH/PUSCH KO, 0% ping loss, and all
+CQI reports at the target (15 at the default SNR).
 
-Usage:  python tools/run_lte.py [--ttis 300] [--pings 5] [--snr 20]
+Usage: python tools/run_lte.py [--ttis 400] [--pings 3] [--snr 30]
+                               [--prb 6] [--ues 2]
 """
 
 from __future__ import annotations
@@ -23,340 +25,410 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+from dataclasses import replace
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 
-def build_phy(snr_db: float, nof_prb: int = 15, seed: int = 7,
-              cpu: bool = True):
-    """Jitted DL/UL subframe transports and the PRACH path."""
+class UeNode:
+    """One UE: MAC + RRC/NAS + RLC bearers + PUCCH resources."""
+
+    def __init__(self, idx: int, air, stats: dict, log) -> None:
+        from srsran_4g_tpu.stack.nas_ue import NasUe
+        from srsran_4g_tpu.stack.rlc_am import RlcAm
+        from srsran_4g_tpu.stack.rlc_um import RlcTm
+        from srsran_4g_tpu.stack.rrc_ue import RrcUe
+        from srsran_4g_tpu.stack.ue_mac import LogicalChannel, UeMac
+        from srsran_4g_tpu.stack.usim import Usim, UsimConfig
+
+        self.idx = idx
+        self.air = air
+        self.stats = stats
+        self.log = log
+        base = UsimConfig()
+        imsi = str(int(base.imsi) + idx).zfill(len(base.imsi))
+        self.ucfg = replace(base, imsi=imsi)
+        self.nas = NasUe(Usim(self.ucfg))
+        self.mac = UeMac(contention_id=bytes([0x42] * 5 + [0x40 + idx]))
+        self.rlc = {0: RlcTm(), 1: RlcAm(), 3: RlcAm()}
+        self.rrc = RrcUe(nas=self.nas)
+        self.rrc.tx = lambda lcid, pdu: self.rlc[lcid].write_sdu(pdu)
+        self.crnti = 0
+        self.ra_rnti = 0
+        self.prach_sent = False
+        self.last_snr = 0.0
+        self.cqi_sent: list[int] = []
+        self.pending_ack: list[tuple[int, int, int]] = []   # (tti, n_pucch, bit)
+        self.pending_pusch: list[tuple[int, object, bytes]] = []  # (tti, cfg, pdu)
+        self.sr_count = 0
+        n_cce = air.cch.n_cce
+        self.n_pucch_sr = n_cce + 2 + idx
+        self.n_pucch_2 = idx
+
+        self.mac.demux.add_rlc(0, self.rrc.rx_ccch)
+        for lc in (1, 3):
+            self.mac.demux.add_rlc(lc, self._mk_sink(lc))
+        for lcid, prio in ((0, 0), (1, 1), (3, 3)):
+            self.mac.mux.setup_lcid(self._mk_chan(lcid, prio, LogicalChannel))
+
+    def _mk_sink(self, lc):
+        def sink(p):
+            ent = self.rlc[lc]
+            ent.write_pdu(p)
+            q = getattr(ent, "delivered", None)
+            if q is None:
+                q = getattr(ent, "rx_sdus", [])
+            sdus, q[:] = list(q), []
+            for sdu in sdus:
+                if lc in (1, 2):
+                    self.rrc.rx_dcch(lc, sdu)
+                else:
+                    for ip_pkt in self.rrc.rx_drb_pdu(lc, sdu):
+                        self.stats["dl_ping_rx"] += 1
+                        self.rrc.write_drb_sdu(lc, b"echo:" + ip_pkt[-8:])
+        return sink
+
+    def _mk_chan(self, lcid, prio, LogicalChannel):
+        ent = self.rlc[lcid]
+        return LogicalChannel(
+            lcid=lcid, priority=prio,
+            has_data=lambda e=ent: (200 if e.has_data() else 0),
+            read_pdu=lambda n, e=ent: e.read_pdu(n))
+
+    def has_ul_data(self) -> bool:
+        return any(c.has_data() > 0 for c in self.mac.mux.channels)
+
+    # -- DL reception ------------------------------------------------------
+
+    def handle_rar(self, tti: int, pdu: bytes) -> None:
+        from srsran_4g_tpu.stack import mac_pdu
+        from srsran_4g_tpu.stack.enb_mac import (MSG3_DELAY,
+                                                 unpack_rar_ul_grant)
+
+        backoff, grants = mac_pdu.unpack_rar(pdu)
+        for g in grants:
+            if self.mac.ra.rar_received(g, backoff):
+                self.crnti = g.temp_crnti
+                st, ln, mcs, tbs = unpack_rar_ul_grant(
+                    self.air.cell.nof_prb, g.ul_grant)
+                self._queue_pusch(tti + MSG3_DELAY, st, ln, mcs, tbs,
+                                  pid=(tti + MSG3_DELAY) % 8, ndi=False,
+                                  is_rar=True)
+
+    def _queue_pusch(self, due: int, prb_start: int, prb_len: int, mcs: int,
+                     tbs: int, pid: int, ndi: bool, is_rar: bool) -> None:
+        from srsran_4g_tpu.runtime.lte_air import _ul_cfg
+        from srsran_4g_tpu.stack.ue_mac import UlMacGrant
+
+        g = UlMacGrant(rnti=self.crnti, pid=pid, tbs=tbs // 8, ndi=ndi,
+                       is_rar=is_rar)
+        out = self.mac.new_grant_ul(g)
+        if out["pdu"]:
+            if is_rar:
+                # 36.321 §5.1.5: the contention-resolution identity is the
+                # first 48 bits of the transmitted msg3 CCCH SDU
+                from srsran_4g_tpu.stack import mac_pdu
+                up = mac_pdu.unpack(out["pdu"], ul=True)
+                for sub in up.subpdus:
+                    if sub.is_sdu and sub.lcid == 0:
+                        self.mac.ra.ue_contention_id = \
+                            sub.payload[:6].ljust(6, b"\0")
+                        break
+            cfg = _ul_cfg(self.air.cell, self.crnti, prb_start, prb_len, mcs)
+            self.pending_pusch.append((due, cfg, out["pdu"]))
+
+    def handle_dl_dci(self, tti: int, d, cce_start: int,
+                      pdu: bytes | None) -> None:
+        from srsran_4g_tpu.stack.ue_mac import DlMacGrant
+
+        tbs_bytes = len(pdu) if pdu else 0
+        g = DlMacGrant(rnti=self.crnti, pid=d.harq_pid,
+                       tbs=tbs_bytes, ndi=bool(d.ndi), tti=tti)
+        self.mac.new_grant_dl(g)
+        ok = pdu is not None
+        if ok:
+            self.mac.tb_decoded(g, pdu)
+        else:
+            self.stats["pdsch_ko"] += 1
+        self.pending_ack.append((tti + 4, cce_start, 0 if ok else 1))
+
+    def handle_ul_dci(self, tti: int, d) -> None:
+        from srsran_4g_tpu.models import ra
+
+        tbs = ra.tbs_from_itbs(ra.ul_mcs_to_itbs(d.mcs), d.l_crbs)
+        self._queue_pusch(tti + 4, d.rb_start, d.l_crbs, d.mcs, tbs,
+                          pid=(tti + 4) % 8, ndi=bool(d.ndi), is_rar=False)
+
+    # -- UL composition ------------------------------------------------------
+
+    def ul_grid(self, tti: int, cqi_due: bool):
+        pusch = None
+        due = [p for p in self.pending_pusch if p[0] <= tti]
+        self.pending_pusch = [p for p in self.pending_pusch if p[0] > tti]
+        if due:
+            _, cfg, pdu = due[0]
+            pusch = (cfg, pdu)
+            self.stats["pusch_tx"] += 1
+        ack = None
+        acks = [a for a in self.pending_ack if a[0] <= tti]
+        self.pending_ack = [a for a in self.pending_ack if a[0] > tti]
+        if acks:
+            _, n_pucch, bit = acks[0]
+            ack = (n_pucch, bit)
+        sr = None
+        if (pusch is None and self.mac.ra.is_complete()
+                and self.has_ul_data() and not self.pending_pusch):
+            sr = self.n_pucch_sr
+            self.sr_count += 1
+        cqi = None
+        if cqi_due and self.mac.ra.is_complete() and self.last_snr > 0:
+            from srsran_4g_tpu.models.cqi import cqi_from_snr
+
+            val = int(cqi_from_snr(self.last_snr))
+            self.cqi_sent.append(val)
+            cqi = (self.n_pucch_2, self.crnti, val)
+        if pusch is None and ack is None and sr is None and cqi is None:
+            return None
+        return self.air.ue_ul_tx(pusch, ack=ack, sr=sr, cqi=cqi)
+
+
+def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
+        n_ues: int = 1, verbose: bool = False):
     import jax
 
-    if cpu:
-        # the axon plugin overrides JAX_PLATFORMS; force through the config
-        jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
+    jax.config.update("jax_platforms", "cpu")
 
-    from srsran_4g_tpu.channel.awgn import awgn, snr_to_noise_var
-    from srsran_4g_tpu.models import grid as G, pdsch, prach, pusch
-    from srsran_4g_tpu.utils import constants as C
-
-    cell = G.CellConfig(nof_prb=nof_prb, cell_id=1, cfi=1)
-    TBS = 1096  # fixed transport block (137 B MAC PDU) for jit stability
-    dl_cfg = pdsch.PdschConfig(cell=cell, rnti=0x46, subframe=4, mod="qpsk",
-                               tbs=TBS)
-    ul_cfg = pusch.PuschConfig(cell=cell, rnti=0x46, subframe=4, mod="qpsk",
-                               tbs=TBS, nof_prb_alloc=8)
-    nv = snr_to_noise_var(snr_db)
-    key = jax.random.PRNGKey(seed)
-
-    @jax.jit
-    def dl_step(bits, key):
-        tx = pdsch.add_crs(dl_cfg, pdsch.encode(dl_cfg, bits))
-        rx = awgn(key, tx, nv)
-        out = pdsch.decode(dl_cfg, rx, n_iter=6)
-        return out["crc_ok"], out["bits"]
-
-    @jax.jit
-    def ul_step(bits, key):
-        tx = pusch.encode(ul_cfg, bits)
-        rx = awgn(key, tx, nv)
-        out = pusch.decode(ul_cfg, rx, n_iter=6)
-        return out["crc_ok"], out["bits"]
-
-    p_cfg = prach.PrachConfig(symbol_sz=C.symbol_sz(nof_prb),
-                              root_seq_index=0, zero_corr_zone=5)
-
-    @jax.jit
-    def prach_step(pre_t, key):
-        # normalise preamble to unit average power (radio TX scaling)
-        pre_t = pre_t / jnp.sqrt(jnp.mean(jnp.abs(pre_t) ** 2))
-        rx = awgn(key, pre_t[None, :], nv)
-        det = prach.detect(p_cfg, rx)
-        return det["detected"][0], det["power"][0]
-
-    state = {"key": key, "tbs": TBS}
-
-    def keys():
-        state["key"], k = jax.random.split(state["key"])
-        return k
-
-    def dl(pdu: bytes) -> bytes | None:
-        bits = np.unpackbits(np.frombuffer(pdu, np.uint8))[:TBS]
-        bits = np.pad(bits, (0, TBS - len(bits))).astype(np.int8)
-        ok, out = dl_step(jnp.asarray(bits[None]), keys())
-        if not bool(ok[0]):
-            return None
-        return np.packbits(np.asarray(out[0], np.uint8)).tobytes()
-
-    def ul(pdu: bytes) -> bytes | None:
-        bits = np.unpackbits(np.frombuffer(pdu, np.uint8))[:TBS]
-        bits = np.pad(bits, (0, TBS - len(bits))).astype(np.int8)
-        ok, out = ul_step(jnp.asarray(bits[None]), keys())
-        if not bool(ok[0]):
-            return None
-        return np.packbits(np.asarray(out[0], np.uint8)).tobytes()
-
-    def prach_tx_detect(preamble_idx: int) -> int | None:
-        pre = prach.generate(p_cfg, preamble_idx)
-        det, power = prach_step(pre, keys())
-        det = np.asarray(det)
-        if not det.any():
-            return None
-        return int(np.asarray(power).argmax())
-
-    return dl, ul, prach_tx_detect, TBS // 8
-
-
-def run(n_ttis: int, n_pings: int, snr_db: float, verbose: bool = False):
-    from srsran_4g_tpu.stack import mac_pdu
+    from srsran_4g_tpu.models import dci as dci_mod
+    from srsran_4g_tpu.models import pdcch as pdcch_mod
+    from srsran_4g_tpu.runtime.lte_air import (DL_SF, LteAirPhy,
+                                               dci_to_pdsch_cfg)
+    from srsran_4g_tpu.stack.enb_mac import EnbMac
     from srsran_4g_tpu.stack.epc import Hss, Mme
-    from srsran_4g_tpu.stack.nas_ue import NasUe
-    from srsran_4g_tpu.stack.rlc_am import RlcAm
-    from srsran_4g_tpu.stack.rlc_um import RlcTm
     from srsran_4g_tpu.stack.rrc_enb import EnbCellConfig, RrcEnb
-    from srsran_4g_tpu.stack.rrc_ue import RrcUe
-    from srsran_4g_tpu.stack.ue_mac import (DlMacGrant, LogicalChannel, RaProc,
-                                            UeMac, UlMacGrant)
-    from srsran_4g_tpu.stack.usim import Usim, UsimConfig
-
-    dl_phy, ul_phy, prach_phy, PDU_BYTES = build_phy(snr_db)
 
     stats = {"prach": 0, "pdsch_ko": 0, "pusch_ko": 0, "pdsch_tx": 0,
-             "pusch_tx": 0, "dl_ping_rx": 0, "ul_ping_rx": 0}
+             "pusch_tx": 0, "dl_ping_rx": 0, "ul_ping_rx": 0,
+             "dci_tx": 0, "dci_missed": 0}
     log = (lambda *a: print(*a, flush=True)) if verbose else (lambda *a: None)
 
+    air = LteAirPhy(nof_prb=nof_prb, snr_db=snr_db)
+
     # ----- EPC
-    ucfg = UsimConfig()
     hss = Hss()
-    hss.add_subscriber(ucfg.imsi, ucfg.k, ucfg.opc)
     mme = Mme(hss=hss)
 
-    # ----- eNB: RRC + RLC bearers + thin MAC
-    enb = RrcEnb(cell=EnbCellConfig(nof_prb=15))
-    enb_rlc = {0: RlcTm(), 1: RlcAm(), 3: RlcAm()}
-    enb_dl_q: list[bytes] = []            # assembled MAC PDUs awaiting PDSCH
-    enb_pending_conres: list[bytes] = []  # contention-resolution CE payloads
+    # ----- UEs
+    ues = [UeNode(i, air, stats, log) for i in range(n_ues)]
+    for ue in ues:
+        hss.add_subscriber(ue.ucfg.imsi, ue.ucfg.k, ue.ucfg.opc)
 
-    def enb_tx_rrc(rnti: int, lcid: int, pdu: bytes) -> None:
-        enb_rlc[lcid].write_sdu(pdu)
+    # ----- eNB: MAC entity + RRC + S1
+    enb_mac = EnbMac(nof_prb=nof_prb)
+    enb_mac.ul_sched.edge_guard = 2   # PUCCH format-2 + format-1 regions
+    enb_rrc = RrcEnb(cell=EnbCellConfig(nof_prb=nof_prb))
+    enb_rrc.tx_rrc = enb_mac.write_dl_sdu
+    enb_rrc.tx_s1ap = lambda pdu: [enb_rrc.rx_s1ap(r) for r in mme.rx_s1ap(pdu)]
+    enb_mac.rx_ccch = enb_rrc.rx_ccch
+    enb_mac.rx_dcch = enb_rrc.rx_dcch
 
-    enb.tx_rrc = enb_tx_rrc
-    enb.tx_s1ap = lambda pdu: [enb.rx_s1ap(r) for r in mme.rx_s1ap(pdu)]
-
-    # ----- UE: MAC + RRC/NAS + RLC bearers
-    ue_nas = NasUe(Usim(ucfg))
-    ue_mac = UeMac(contention_id=b"\x42\x42\x42\x42\x42\x42")
-    ue_rlc = {0: RlcTm(), 1: RlcAm(), 3: RlcAm()}
-    ue_rrc = RrcUe(nas=ue_nas)
-    ue_rrc.tx = lambda lcid, pdu: ue_rlc[lcid].write_sdu(pdu)
-
-    def drain(ent) -> list[bytes]:
-        """Pop delivered SDUs from an RLC entity (AM uses .delivered)."""
-        q = getattr(ent, "delivered", None)
-        if q is None:
-            q = getattr(ent, "rx_sdus", [])
-        out, q[:] = list(q), []
-        return out
-
-    # UE RLC->PDCP->RRC delivery
-    def ue_rlc_deliver(lcid: int) -> None:
-        for sdu in drain(ue_rlc[lcid]):
-            if lcid == 0:
-                ue_rrc.rx_ccch(sdu)
-            elif lcid in (1, 2):
-                ue_rrc.rx_dcch(lcid, sdu)
-            else:
-                for ip_pkt in ue_rrc.rx_drb_pdu(lcid, sdu):
-                    stats["dl_ping_rx"] += 1
-                    # reflect the ping back up (UE "app")
-                    ue_rrc.write_drb_sdu(lcid, b"echo:" + ip_pkt[-8:])
-
-    def ue_ccch_sink(p: bytes) -> None:
-        ue_rrc.rx_ccch(p)
-
-    ue_mac.demux.add_rlc(0, ue_ccch_sink)
-    for lc in (1, 3):
-        def mk(lc=lc):
-            def sink(p):
-                ue_rlc[lc].write_pdu(p)
-                ue_rlc_deliver(lc)
-            return sink
-        ue_mac.demux.add_rlc(lc, mk())
-
-    # UE mux logical channels feed from RLC entities
-    def mk_chan(lcid: int, prio: int) -> LogicalChannel:
-        ent = ue_rlc[lcid]
-
-        def has() -> int:
-            return 200 if ent.has_data() else 0
-
-        def rd(n: int):
-            return ent.read_pdu(n)
-
-        return LogicalChannel(lcid=lcid, priority=prio, has_data=has,
-                              read_pdu=rd)
-
-    for lcid, prio in ((0, 0), (1, 1), (3, 3)):
-        ue_mac.mux.setup_lcid(mk_chan(lcid, prio))
-
-
-    # ----- eNB thin MAC: assemble DL MAC PDUs from RLC + CEs
-    def enb_build_dl_pdu() -> bytes | None:
-        pdu = mac_pdu.MacPdu()
-        budget = PDU_BYTES
-        while enb_pending_conres and budget >= 7:
-            pdu.add_ce(mac_pdu.LCID_CON_RES, enb_pending_conres.pop(0))
-            budget -= 7
-        for lcid in (0, 1, 3):
-            ent = enb_rlc[lcid]
-            while ent.has_data() and budget > 3:
-                sdu = ent.read_pdu(budget - 3)
-                if not sdu:
-                    break
-                pdu.add_sdu(lcid, sdu)
-                budget -= len(sdu) + 3
-        if not pdu.subpdus:
-            return None
-        return mac_pdu.pack(pdu, PDU_BYTES)
-
-    def enb_rx_ul_pdu(raw: bytes) -> None:
-        up = mac_pdu.unpack(raw, ul=True)
-        for sub in up.subpdus:
-            if not sub.is_sdu:
+    def enb_rx_drb(rnti: int, lcid: int, sdu: bytes) -> None:
+        for pkt in enb_rrc.drb_rx(rnti, lcid, sdu):
+            ue_ctx = enb_rrc.ues.get(rnti)
+            if ue_ctx is None:
                 continue
-            if sub.lcid == 0:
-                if enb.ues:
-                    # duplicate msg3 (HARQ retx of CCCH): contention
-                    # resolution already pending — don't fork a 2nd ctx
-                    stats["dup_ccch"] = stats.get("dup_ccch", 0) + 1
-                    continue
-                rnti = enb.rx_ccch(0, sub.payload)
-                # schedule contention resolution + the queued ConnSetup
-                enb_pending_conres.append(ue_mac.contention_id)
-            elif sub.lcid in (1, 2):
-                ent = enb_rlc[sub.lcid]
-                ent.write_pdu(sub.payload)
-                for sdu in drain(ent):
-                    enb.rx_dcch(enb.next_rnti - 1, sub.lcid, sdu)
-            else:
-                ent = enb_rlc[sub.lcid]
-                ent.write_pdu(sub.payload)
-                for sdu in drain(ent):
-                    for pkt in enb.drb_rx(enb.next_rnti - 1, sub.lcid, sdu):
-                        # user plane: hand to SPGW (UL ping / echo)
-                        sess = mme.spgw.sessions.get(ucfg.imsi)
-                        if sess:
-                            mme.spgw.rx_s1u(sess.spgw_teid, pkt)
+            erab = ue_ctx.erab_by_lcid.get(lcid)
+            teid = ue_ctx.spgw_teids.get(erab)
+            if teid is not None:
+                mme.spgw.rx_s1u(teid, pkt)
 
-    # SPGW SGi loopback: every UL packet is echoed back down (ping peer)
-    def sgi_rx(pkt: bytes) -> None:
-        stats["ul_ping_rx"] += 1
-
-    mme.spgw.sgi_tx = sgi_rx
+    enb_mac.rx_drb = enb_rx_drb
+    mme.spgw.sgi_tx = lambda pkt: stats.__setitem__(
+        "ul_ping_rx", stats["ul_ping_rx"] + 1)
 
     def spgw_dl(teid: int, pkt: bytes) -> None:
-        # DL user plane: GTP-U -> eNB -> PDCP -> RLC (DRB lcid 3)
-        rnti = enb.next_rnti - 1
-        enb_rlc[3].write_sdu(enb.drb_tx(rnti, 3, pkt))
+        for rnti, ue_ctx in enb_rrc.ues.items():
+            for erab, t in ue_ctx.erab_teids.items():
+                if t == teid:
+                    lcids = [lc for lc, e in ue_ctx.erab_by_lcid.items()
+                             if e == erab]
+                    lcid = lcids[0] if lcids else 3
+                    enb_mac.write_dl_sdu(rnti, lcid,
+                                         enb_rrc.drb_tx(rnti, lcid, pkt))
+                    return
 
     mme.spgw.s1u_tx = spgw_dl
 
-    # ----- TTI loop ------------------------------------------------------
-    ra_started = False
-    ra_msg3_pending = False
-    pings_sent = 0
-    attach_tti = None
+    # eNB-side PUCCH expectations
+    ack_watch: list[tuple[int, int, int, int]] = []  # (tti, rnti, pid, n_pucch)
+    pusch_watch: list[tuple[int, object, object]] = []  # (tti, grant, cfg)
+
+    pings_sent = {ue.idx: 0 for ue in ues}
+    attach_tti: dict[int, int] = {}
 
     for tti in range(n_ttis):
-        ue_mac.tick(1)
-        ue_rrc.tick(1)
-        for ent in list(ue_rlc.values()) + list(enb_rlc.values()):
-            if hasattr(ent, "tick"):
-                ent.tick(1)
+        for ue in ues:
+            ue.mac.tick(1)
+            ue.rrc.tick(1)
+            for ent in ue.rlc.values():
+                if hasattr(ent, "tick"):
+                    ent.tick(1)
+        enb_mac.tick(1)
 
-        # 1. random access
-        if not ra_started:
-            ue_rrc.connect()          # queues RRCConnectionRequest in SRB0
-            idx = ue_mac.ra.start(ue_mac.contention_id)
-            det = prach_phy(idx)
-            if det is not None:
-                stats["prach"] += 1
-                log(f"tti {tti}: PRACH detected idx={det}")
-                ue_mac.ra.rar_received(
-                    mac_pdu.RarGrant(rapid=idx, ta=2, ul_grant=1,
-                                     temp_crnti=0x46), None)
-                ra_msg3_pending = True
-            ra_started = True
-            continue
+        # 1. PRACH (once per UE, as in run_lte.sh's "exactly 1 PRACH")
+        for ue in ues:
+            if not ue.prach_sent and tti >= ue.idx * 3:
+                ue.rrc.connect()
+                idx = ue.mac.ra.start(ue.mac.contention_id)
+                det = air.prach(idx)
+                ue.prach_sent = True
+                ue.ra_rnti = 1 + tti % 10
+                if det is not None:
+                    stats["prach"] += 1
+                    enb_mac.rach_detected(tti, det)
+                    log(f"tti {tti}: PRACH ue{ue.idx} idx={det}")
 
-        # 2. UL: msg3 or regular grant whenever UE has data
-        ue_has_ul = any(c.has_data() > 0 for c in ue_mac.mux.channels)
-        if ra_msg3_pending or ue_has_ul:
-            g = UlMacGrant(rnti=0x46, pid=tti % 8, tbs=PDU_BYTES,
-                           ndi=bool((tti // 8) % 2), is_rar=ra_msg3_pending)
-            out = ue_mac.new_grant_ul(g)
-            if out["pdu"]:
-                stats["pusch_tx"] += 1
-                rx = ul_phy(out["pdu"])
-                if rx is None:
+        # 2. eNB scheduling: DL items + UL DCIs for this TTI's PDCCH
+        from srsran_4g_tpu.runtime.lte_air import _ul_cfg
+
+        dl_items = enb_mac.get_dl_sched(tti)
+        ul_items = enb_mac.get_ul_sched(tti)
+        used_cces: set[int] = set()
+        tx_list = []
+        for it in dl_items:
+            bits = dci_mod.pack_1a(it.dci, nof_prb)
+            alloc = air.cch.alloc(it.grant.rnti, used_cces,
+                                  min_l=4 if it.is_rar else 1)
+            if alloc is None:
+                continue
+            l_agg, cce_start = alloc
+            cfg = dci_to_pdsch_cfg(air.cell, it.grant.rnti, it.dci)
+            tx_list.append((cfg, it.pdu, bits, it.grant.rnti, l_agg,
+                            cce_start))
+            stats["pdsch_tx"] += 1
+            stats["dci_tx"] += 1
+            if not it.is_rar:
+                ack_watch.append((tti + 4, it.grant.rnti,
+                                  it.grant.harq_pid, cce_start))
+        for it in ul_items:
+            g = it.grant
+            cfg = _ul_cfg(air.cell, g.rnti, g.prb_start, g.prb_len, g.mcs,
+                          rv=g.rv)
+            if it.is_msg3:
+                pusch_watch.append((tti, g, cfg))
+                continue
+            bits = dci_mod.pack_0(it.dci, nof_prb)
+            alloc = air.cch.alloc(g.rnti, used_cces)
+            if alloc is None:
+                continue
+            l_agg, cce_start = alloc
+            tx_list.append((None, None, bits, g.rnti, l_agg, cce_start))
+            stats["dci_tx"] += 1
+            pusch_watch.append((tti + 4, g, cfg))
+
+        # 3. DL over the air
+        dl_samples = air.enb_dl_tx(tx_list) if tx_list else None
+
+        # 4. UE DL reception: blind decode every TTI a DCI could arrive
+        if dl_samples is not None:
+            for ue in ues:
+                watch = []
+                if ue.mac.ra.state == ue.mac.ra.MSG3_SENT or ue.crnti:
+                    watch.append(ue.crnti)
+                if ue.mac.ra.state == ue.mac.ra.RAR_WAIT:
+                    watch.append(ue.ra_rnti)
+                for rnti in [r for r in watch if r]:
+                    rx = air.ue_dl_rx_multi(dl_samples, rnti)
+                    ue.last_snr = rx["snr_db"]
+                    for hit in rx["hits"]:
+                        if rnti == ue.ra_rnti and hit.get("pdu") is not None:
+                            ue.handle_rar(tti, hit["pdu"])
+                        elif "ul_dci" in hit:
+                            ue.handle_ul_dci(tti, hit["ul_dci"])
+                        elif rnti == ue.crnti:
+                            ue.handle_dl_dci(tti, hit["dci"],
+                                             hit["cce_start"],
+                                             hit.get("pdu"))
+
+        # 5. UL over the air
+        cqi_due = (tti % 20) == 5
+        grids = [ue.ul_grid(tti, cqi_due) for ue in ues]
+        if any(g is not None for g in grids) or pusch_watch or ack_watch:
+            ul_samples = air.combine_ul(grids)
+            ul_grid = air.enb_ul_grid(ul_samples)
+            # PUSCH
+            due = [w for w in pusch_watch if w[0] <= tti]
+            pusch_watch = [w for w in pusch_watch if w[0] > tti]
+            for _, g, cfg in due:
+                pdu = air.enb_pusch_rx(ul_grid, cfg)
+                enb_mac.crc_info(tti, g.rnti, g.harq_pid, pdu is not None)
+                if pdu is None:
                     stats["pusch_ko"] += 1
                 else:
-                    enb_rx_ul_pdu(rx)
-            ra_msg3_pending = False
+                    enb_mac.push_pdu(g.rnti, pdu)
+            # HARQ-ACK
+            acks = [w for w in ack_watch if w[0] <= tti]
+            ack_watch = [w for w in ack_watch if w[0] > tti]
+            for _, rnti, pid, n_pucch in acks:
+                r = air.enb_pucch_ack_rx(ul_grid, n_pucch)
+                enb_mac.dl_ack_info(rnti, pid, bool(r))
+            # SR + CQI
+            for ue in ues:
+                if not ue.crnti:
+                    continue
+                if air.enb_sr_rx(ul_grid, ue.n_pucch_sr):
+                    enb_mac.ul_bsr(ue.crnti, 128)
+                if cqi_due:
+                    cqi = air.enb_cqi_rx(ul_grid, ue.n_pucch_2, ue.crnti)
+                    enb_mac.dl_cqi_info(ue.crnti, cqi)
 
-        # 3. DL: anything queued at the eNB (KO retransmissions first)
-        raw = enb_dl_q.pop(0) if enb_dl_q else enb_build_dl_pdu()
-        if raw is not None:
-            stats["pdsch_tx"] += 1
-            g = DlMacGrant(rnti=0x46, pid=tti % 8, tbs=PDU_BYTES,
-                           ndi=bool((tti // 8) % 2), tti=tti)
-            act = ue_mac.new_grant_dl(g)
-            rx = dl_phy(raw)
-            if rx is None:
-                stats["pdsch_ko"] += 1
-                # retransmit next TTI by re-queueing at the front
-                enb_dl_q.insert(0, raw)
-            else:
-                ue_mac.tb_decoded(g, rx)
+        # 6. ping trains once attached
+        for ue in ues:
+            if ue.nas.is_registered() and ue.idx not in attach_tti:
+                attach_tti[ue.idx] = tti
+                log(f"tti {tti}: ue{ue.idx} ATTACHED ip="
+                    f"{'.'.join(str(b) for b in ue.nas.ip_addr)}")
+            if (ue.idx in attach_tti and pings_sent[ue.idx] < n_pings
+                    and tti > attach_tti[ue.idx] + 2
+                    and (tti - attach_tti[ue.idx]) % 12 == 0):
+                sess = mme.spgw.sessions[ue.ucfg.imsi]
+                pkt = (bytes(16) + sess.ue_ip
+                       + f"ping{ue.idx}{pings_sent[ue.idx]:03d}".encode())
+                mme.spgw.rx_sgi(pkt)
+                pings_sent[ue.idx] += 1
 
-        # 4. once attached, run the ping train (DL pings via SPGW SGi)
-        if ue_nas.is_registered() and attach_tti is None:
-            attach_tti = tti
-            log(f"tti {tti}: ATTACHED ip="
-                f"{'.'.join(str(b) for b in ue_nas.ip_addr)}")
-        if attach_tti is not None and pings_sent < n_pings \
-                and tti > attach_tti + 2 and tti % 10 == 0:
-            sess = mme.spgw.sessions[ucfg.imsi]
-            pkt = bytes(16) + sess.ue_ip + f"ping{pings_sent:04d}".encode()
-            mme.spgw.rx_sgi(pkt)
-            pings_sent += 1
-
-    ok = (ue_nas.is_registered()
-          and stats["prach"] == 1
-          and stats["dl_ping_rx"] == n_pings
-          and stats["ul_ping_rx"] >= n_pings  # echoes (+ any extra UL)
-          and stats["pdsch_ko"] == 0 and stats["pusch_ko"] == 0)
-    return ok, stats, ue_nas, mme
+    total_pings = n_pings * len(ues)
+    all_cqi_target = all(
+        c >= 13 for ue in ues for c in ue.cqi_sent[1:]) if snr_db >= 25 \
+        else True
+    ok = (all(ue.nas.is_registered() for ue in ues)
+          and stats["prach"] == len(ues)
+          and stats["dl_ping_rx"] == total_pings
+          and stats["ul_ping_rx"] >= total_pings
+          and stats["pdsch_ko"] == 0 and stats["pusch_ko"] == 0
+          and all_cqi_target)
+    return ok, stats, ues, mme
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ttis", type=int, default=300)
-    ap.add_argument("--pings", type=int, default=5)
-    ap.add_argument("--snr", type=float, default=20.0)
-    ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("--ttis", type=int, default=400)
+    ap.add_argument("--pings", type=int, default=3)
+    ap.add_argument("--snr", type=float, default=30.0)
+    ap.add_argument("--prb", type=int, default=6)
+    ap.add_argument("--ues", type=int, default=2)
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args()
-    if args.cpu:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
-    ok, stats, nas, mme = run(args.ttis, args.pings, args.snr, verbose=args.v)
-    print(f"attached={nas.is_registered()} ip="
-          f"{nas.ip_addr and '.'.join(str(b) for b in nas.ip_addr)} "
-          f"stats={stats}")
+    ok, stats, ues, mme = run(args.ttis, args.pings, args.snr,
+                              nof_prb=args.prb, n_ues=args.ues,
+                              verbose=args.v)
+    for ue in ues:
+        print(f"ue{ue.idx}: attached={ue.nas.is_registered()} "
+              f"crnti={ue.crnti:#x} cqi={ue.cqi_sent}")
+    print(f"stats={stats}")
     print("E2E RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
