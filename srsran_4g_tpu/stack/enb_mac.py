@@ -35,6 +35,8 @@ MSG3_PRB_START = 2  # clear of the PUCCH format-2 (PRB 0) and format-1 regions
 MSG3_MCS = 2
 RAR_PRB = 3
 RAR_MCS = 0
+SI_RNTI = 0xFFFF
+SI_MCS = 2
 
 
 def pack_rar_ul_grant(nof_prb: int, prb_start: int, prb_len: int,
@@ -106,7 +108,34 @@ class EnbMac:
         self.rx_dcch: Callable[[int, int, bytes], None] = lambda *_: None
         self.rx_drb: Callable[[int, int, bytes], None] = lambda *_: None
         self.metrics = {"rach": 0, "dl_tx": 0, "dl_retx": 0, "ul_crc_ok": 0,
-                        "ul_crc_ko": 0}
+                        "ul_crc_ko": 0, "si_tx": 0}
+        # BCCH-DL-SCH broadcast (sched_si): message i goes out in the TTI
+        # where tti mod (period * n) == i * period + 1
+        self.si_messages: list[bytes] = []
+        self.si_period_ttis = 20
+
+    def set_si(self, messages: list[bytes], period_ttis: int = 20) -> None:
+        self.si_messages = list(messages)
+        self.si_period_ttis = period_ttis
+
+    def _si_item(self, tti: int) -> Optional[DlSchedItem]:
+        n = len(self.si_messages)
+        if n == 0 or tti % self.si_period_ttis != 1:
+            return None
+        i = (tti // self.si_period_ttis) % n
+        payload = self.si_messages[i]
+        want = (len(payload) + 1) * 8
+        n_prb = 1
+        while ra.dl_tbs(SI_MCS, n_prb) < want:
+            n_prb += 1
+        tbs = ra.dl_tbs(SI_MCS, n_prb)
+        self.metrics["si_tx"] += 1
+        grant = sched.DlGrant(rnti=SI_RNTI, harq_pid=0, mcs=SI_MCS, tbs=tbs,
+                              prb_mask=tuple(range(n_prb)), rv=0, ndi=0,
+                              is_retx=False)
+        d = dci_mod.Dci1A(rb_start=0, l_crbs=n_prb, mcs=SI_MCS)
+        return DlSchedItem(grant=grant, pdu=payload.ljust(tbs // 8, b"\0"),
+                           dci=d, is_rar=True)
 
     # -- bearers -----------------------------------------------------------
 
@@ -148,6 +177,10 @@ class EnbMac:
 
     def get_dl_sched(self, tti: int) -> list[DlSchedItem]:
         items: list[DlSchedItem] = []
+        # 0) BCCH-DL-SCH broadcast window (SI-RNTI, common search space)
+        si = self._si_item(tti)
+        if si is not None:
+            return [si]
         # 1) RAR subframes take precedence (common search space, RA-RNTI)
         if self._pending_rar:
             preamble, temp_crnti, ra_rnti = self._pending_rar.pop(0)

@@ -68,11 +68,23 @@ class RrcUe:
         self.t300_ms = 1000
         self.simulate_rlf = False  # console-style injection hook
         self.events: list[str] = []
+        # idle-mode procedures (SI acquisition, cell selection/reselection)
+        from .rrc_idle import IdleProcs
+        from .rrc_meas import MeasEngine
+        self.idle = IdleProcs()
+        self.meas = MeasEngine()
 
     # -- connection establishment (connection_request_proc) ----------------
 
     def connect(self, cause: int = 3) -> None:
-        """Send RRCConnectionRequest on SRB0/CCCH; starts T300."""
+        """Send RRCConnectionRequest on SRB0/CCCH; starts T300.
+
+        When the UE camps on a cell (idle.serving_pci set), system
+        information must have been acquired first (si_acquire_proc runs
+        before connection_request_proc, rrc_procedures.h:181)."""
+        if self.idle.serving_pci is not None and not self.idle.si_acquired():
+            self.events.append("conn_request_blocked_no_si")
+            return
         self.state = RRC_CONNECTING
         self.t300 = 0
         msg = R.RrcConnectionRequest(ue_identity=0xDEADBEEF42 & ((1 << 40) - 1),
@@ -233,7 +245,25 @@ class RrcUe:
             return True
         if page.system_info_modification:
             self.events.append("si_modification")
+            self.idle.si_modification()
         return False
+
+    def rx_bcch(self, payload: bytes, pci: int | None = None) -> None:
+        """BCCH-DL-SCH system information for the (serving) cell."""
+        pci = self.phys_cell_id if pci is None else pci
+        self.idle.rx_bcch_dlsch(pci, payload)
+
+    def meas_tick(self, serving_dbm: float, neighbours: dict[int, float],
+                  dt_ms: int = 1) -> list[dict]:
+        """Run the A1–A5 engine; fire MeasurementReports on triggers."""
+        fired = self.meas.tick(serving_dbm, neighbours, dt_ms)
+        if self.state == RRC_CONNECTED:
+            for rep in fired:
+                pci = rep["pci"] if rep["pci"] >= 0 else self.phys_cell_id
+                rsrp = rep["rsrp_dbm"] if rep["rsrp_dbm"] is not None \
+                    else rep["serving_dbm"]
+                self.send_meas_report(rsrp, -10.0, pci)
+        return fired
 
     def send_ul_info_transfer(self, nas_pdu: bytes) -> None:
         self._tx_dcch(SRB1_LCID, R.UlInformationTransfer(nas_pdu=nas_pdu).pack())

@@ -35,17 +35,19 @@ def _run(prb: int, ues: int, ttis: int, pings: int = 2):
     # reference criterion: CQI at target after the first report
     for u in ue_nodes:
         assert all(c >= 13 for c in u.cqi_sent[1:]), u.cqi_sent
+        # SI was acquired over BCCH before the attach (connect() is gated)
+        assert u.rrc.idle.si_acquired(), u.rrc.idle.events
     assert ok
     return stats, ue_nodes
 
 
 def test_two_ue_attach_and_ping_6prb():
     """Main case: 2 UEs, full OTA control loop, 6 PRB."""
-    stats, ues = _run(prb=6, ues=2, ttis=220)
+    stats, ues = _run(prb=6, ues=2, ttis=280)
     # distinct C-RNTIs allocated at RACH
     assert len({u.crnti for u in ues}) == 2
 
 
 @pytest.mark.parametrize("prb", [15, 50, 100])
 def test_prb_matrix_single_ue(prb):
-    _run(prb=prb, ues=1, ttis=140)
+    _run(prb=prb, ues=1, ttis=200)

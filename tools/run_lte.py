@@ -52,6 +52,8 @@ class UeNode:
         self.ucfg = replace(base, imsi=imsi)
         self.nas = NasUe(Usim(self.ucfg))
         self.mac = UeMac(contention_id=bytes([0x42] * 5 + [0x40 + idx]))
+        import random
+        self.mac.ra.rng = random.Random(1000 + idx)  # per-UE preamble draw
         self.rlc = {0: RlcTm(), 1: RlcAm(), 3: RlcAm()}
         self.rrc = RrcUe(nas=self.nas)
         self.rrc.tx = lambda lcid, pdu: self.rlc[lcid].write_sdu(pdu)
@@ -228,6 +230,12 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
     enb_mac = EnbMac(nof_prb=nof_prb)
     enb_mac.ul_sched.edge_guard = 2   # PUCCH format-2 + format-1 regions
     enb_rrc = RrcEnb(cell=EnbCellConfig(nof_prb=nof_prb))
+    # BCCH broadcast: MIB + SIB1 + SIB2 over SI-RNTI PDSCH (sched_si)
+    enb_mac.set_si([
+        bytes([0]) + enb_rrc.gen_mib().pack(),
+        bytes([1]) + enb_rrc.gen_sib1().pack(),
+        bytes([2]) + enb_rrc.gen_sib2().pack(),
+    ])
     enb_rrc.tx_rrc = enb_mac.write_dl_sdu
     enb_rrc.tx_s1ap = lambda pdu: [enb_rrc.rx_s1ap(r) for r in mme.rx_s1ap(pdu)]
     enb_mac.rx_ccch = enb_rrc.rx_ccch
@@ -276,9 +284,18 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
                     ent.tick(1)
         enb_mac.tick(1)
 
-        # 1. PRACH (once per UE, as in run_lte.sh's "exactly 1 PRACH")
+        # 1. PRACH (once per UE, as in run_lte.sh's "exactly 1 PRACH");
+        # the UE must first acquire SI over BCCH and camp (si_acquire_proc
+        # + cell_selection_proc before connection_request_proc)
+        pci = air.cell.cell_id
         for ue in ues:
-            if not ue.prach_sent and tti >= ue.idx * 3:
+            idle = ue.rrc.idle
+            if (not ue.prach_sent and idle.si_acquired(pci)
+                    and idle.serving_pci is None):
+                idle.select_cell()
+            # one PRACH occasion per UE index (staggered RA subframes)
+            if (not ue.prach_sent and idle.serving_pci == pci
+                    and tti % 10 == (2 * ue.idx + 2) % 10):
                 ue.rrc.connect()
                 idx = ue.mac.ra.start(ue.mac.contention_id)
                 det = air.prach(idx)
@@ -332,8 +349,12 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
 
         # 4. UE DL reception: blind decode every TTI a DCI could arrive
         if dl_samples is not None:
+            from srsran_4g_tpu.stack.enb_mac import SI_RNTI
+
             for ue in ues:
                 watch = []
+                if not ue.rrc.idle.si_acquired(pci):
+                    watch.append(SI_RNTI)
                 if ue.mac.ra.state == ue.mac.ra.MSG3_SENT or ue.crnti:
                     watch.append(ue.crnti)
                 if ue.mac.ra.state == ue.mac.ra.RAR_WAIT:
@@ -342,7 +363,11 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
                     rx = air.ue_dl_rx_multi(dl_samples, rnti)
                     ue.last_snr = rx["snr_db"]
                     for hit in rx["hits"]:
-                        if rnti == ue.ra_rnti and hit.get("pdu") is not None:
+                        if rnti == SI_RNTI and hit.get("pdu") is not None:
+                            ue.rrc.rx_bcch(hit["pdu"], pci)
+                            ue.rrc.idle.report_cell(
+                                pci, -100.0 + rx["snr_db"])
+                        elif rnti == ue.ra_rnti and hit.get("pdu") is not None:
                             ue.handle_rar(tti, hit["pdu"])
                         elif "ul_dci" in hit:
                             ue.handle_ul_dci(tti, hit["ul_dci"])
