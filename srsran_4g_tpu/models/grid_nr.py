@@ -89,12 +89,19 @@ def put_dmrs_type1(grid: jnp.ndarray, cfg: NrCarrierConfig, slot: int,
 def data_re_indices_type1(cfg: NrCarrierConfig,
                           dmrs_syms: tuple[int, ...] = (2, 11),
                           start_sym: int = 1,
-                          nof_syms: int = 13) -> np.ndarray:
+                          nof_syms: int = 13,
+                          rb_start: int = 0,
+                          nof_rb: int | None = None) -> np.ndarray:
     """Flat (symbol*nre + k) indices of PDSCH data REs in a slot with
-    type-1 DMRS symbols fully reserved (no data on DMRS symbols)."""
+    type-1 DMRS symbols fully reserved (no data on DMRS symbols).
+
+    rb_start/nof_rb restrict the frequency-domain allocation (type-1 RA
+    from DCI 1_0/0_0 RIV); default is the full carrier."""
+    nof_rb = cfg.nof_prb - rb_start if nof_rb is None else nof_rb
+    k0, k1 = rb_start * 12, (rb_start + nof_rb) * 12
     idx = []
     for l in range(start_sym, start_sym + nof_syms):
         if l in dmrs_syms:
             continue
-        idx.extend(l * cfg.nre + k for k in range(cfg.nre))
+        idx.extend(l * cfg.nre + k for k in range(k0, k1))
     return np.asarray(idx, dtype=np.int32)

@@ -37,11 +37,16 @@ class PdschNrConfig:
     rv: int = 0
     start_sym: int = 1
     nof_syms: int = 13
+    # type-1 frequency allocation (DCI 1_0/0_0 RIV); None = full carrier.
+    # DMRS stays carrier-wide (one UE per slot direction in this model).
+    rb_start: int = 0
+    nof_rb: int | None = None
 
     @functools.cached_property
     def re_indices(self) -> np.ndarray:
         return grid_nr.data_re_indices_type1(
-            self.carrier, DMRS_SYMS, self.start_sym, self.nof_syms)
+            self.carrier, DMRS_SYMS, self.start_sym, self.nof_syms,
+            rb_start=self.rb_start, nof_rb=self.nof_rb)
 
     @property
     def nof_re(self) -> int:
