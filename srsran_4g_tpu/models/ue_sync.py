@@ -54,6 +54,14 @@ class UeSync:
     def sf_len(self) -> int:
         return self.cfg.sf_len
 
+    def radio_error(self) -> None:
+        """RF error callback → immediate resync (srsue/src/phy/sync.cc
+        radio_error: an OVERFLOW/UNDERFLOW/LATE invalidates the sample
+        timeline, so drop straight back to FIND instead of waiting for
+        the out-of-sync counter)."""
+        self.s.state = FIND
+        self.s.out_of_sync_count = 0
+
     def zerocopy(self, samples: jnp.ndarray) -> dict:
         """Process one subframe-or-more of samples; returns status dict
         with 'in_sync', aligned subframe samples when tracking."""

@@ -13,12 +13,23 @@ hardware, sample-count as the clock).
 
 from __future__ import annotations
 
+import enum
 from dataclasses import dataclass
+from typing import Callable, Optional
 
 import numpy as np
 
 from srsran_4g_tpu.ops.resampling import resample_fft
 from srsran_4g_tpu.utils.io import FileSink, FileSource
+
+
+class RadioError(enum.Enum):
+    """RF device error kinds (rf.h:63-73 srsran_rf_error_t)."""
+
+    LATE = "late"
+    UNDERFLOW = "underflow"
+    OVERFLOW = "overflow"
+    RX = "rx"
 
 
 @dataclass
@@ -31,13 +42,21 @@ class RadioArgs:
 
 
 class Radio:
-    """rx_now/tx with PHY↔device rate conversion (radio.cc:290,420)."""
+    """rx_now/tx with PHY↔device rate conversion (radio.cc:290,420).
+
+    `error_handler` is the RF error callback of the reference's plugin
+    contract (rf.h:194 srsran_rf_register_error_handler): the PHY sync
+    layer registers it and reacts to OVERFLOW/UNDERFLOW/LATE by forcing
+    a resync (srsue/src/phy/sync.cc radio_error)."""
 
     def __init__(self, args: RadioArgs):
         self.args = args
         self._rx_count = 0
         self._rx_dev = None
         self._tx_dev = None
+        self.error_handler: Optional[Callable[[RadioError], None]] = None
+        self.error_counts: dict[RadioError, int] = {e: 0 for e in RadioError}
+        self._pending_drop = 0
         if args.device == "file":
             if args.rx_path:
                 self._rx_dev = FileSource(args.rx_path)
@@ -64,6 +83,16 @@ class Radio:
         g = gcd(up, down)
         return up // g, down // g
 
+    def _fire(self, err: RadioError) -> None:
+        self.error_counts[err] += 1
+        if self.error_handler is not None:
+            self.error_handler(err)
+
+    def inject_drop(self, nof_dev_samples: int) -> None:
+        """Fault injection: the device drops samples before the next read
+        (an RX-ring overflow — the 'O' the reference prints)."""
+        self._pending_drop += nof_dev_samples
+
     def rx_now(self, nof_samples_phy: int) -> tuple[np.ndarray, float]:
         """Receive exactly nof_samples at the PHY rate; returns (samples,
         timestamp in seconds of the first sample)."""
@@ -73,7 +102,16 @@ class Radio:
         if self._rx_dev is None:
             dev = np.zeros(n_dev, np.complex64)
         else:
+            if self._pending_drop > 0 and hasattr(self._rx_dev, "read"):
+                # stream discontinuity: consume-and-discard, then report
+                self._rx_dev.read(self._pending_drop)
+                self._pending_drop = 0
+                self._fire(RadioError.OVERFLOW)
             dev = self._rx_dev.read(n_dev)
+            short = getattr(self._rx_dev, "last_read_short", 0)
+            if short > 0:
+                # device could not deliver a full buffer (stalled stream)
+                self._fire(RadioError.UNDERFLOW)
         self._rx_count += nof_samples_phy
         if up == down:
             return dev, ts

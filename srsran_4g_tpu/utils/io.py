@@ -24,6 +24,7 @@ class FileSource:
     def __init__(self, path: str):
         self._data = read_iq(path)
         self._pos = 0
+        self.last_read_short = 0   # samples zero-padded past EOF
 
     def read(self, n: int) -> np.ndarray:
         out = np.zeros(n, dtype=np.complex64)
@@ -31,6 +32,7 @@ class FileSource:
         if take > 0:
             out[:take] = self._data[self._pos:self._pos + take]
             self._pos += take
+        self.last_read_short = n - max(take, 0)
         return out
 
     def seek(self, pos: int) -> None:
