@@ -147,6 +147,23 @@ def decode(cfg: PdschMimoConfig, rx_grids: jnp.ndarray,
         nv = nv[:, None]
     xh, env = mimo.mmse_detect_2x2(y, h_eff, nv)
     out: dict = dict(h=h, noise_var=noise_var)
+    if c0.plan == c1.plan:
+        # same transport format on both codewords: fold them into ONE
+        # DL-SCH decode at 2x batch — the TPU answer to the reference's
+        # "decoder coworker thread" (pdsch.c:81,402, SURVEY P4): instead
+        # of a second thread halving latency, one wider turbo batch
+        # keeps the kernel's lanes full
+        llrs = []
+        for q, (cfg_q, mod_q) in enumerate(((c0, cfg.mod0), (c1, cfg.mod1))):
+            llr = modem.demodulate_soft(mod_q, xh[:, q], env[:, q])
+            llrs.append(scrambling.descramble_llrs(
+                llr.reshape(b, cfg_q.g_bits),
+                jnp.asarray(cfg_q.scramble_seq)))
+        both = jnp.concatenate(llrs, axis=0)  # (2B, G)
+        bits, ok, _ = sch.dlsch_decode(c0.plan, both, n_iter=n_iter)
+        out["bits0"], out["bits1"] = bits[:b], bits[b:]
+        out["crc_ok0"], out["crc_ok1"] = ok[:b], ok[b:]
+        return out
     for q, (cfg_q, mod_q) in enumerate(((c0, cfg.mod0), (c1, cfg.mod1))):
         llr = modem.demodulate_soft(mod_q, xh[:, q], env[:, q])
         llr = scrambling.descramble_llrs(

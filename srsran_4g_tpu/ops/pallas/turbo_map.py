@@ -57,12 +57,12 @@ def _restack(x, order):
     return jnp.concatenate([x[s:s + 1, :] for s in order], axis=0)
 
 
-def _const_col(vals):
+def _const_col(vals, dtype=jnp.float32):
     """(8, 1) 0/1 column built in-kernel from a scalar bit pattern (Pallas
     kernels may not capture array constants)."""
     pattern = int(sum(int(v) << i for i, v in enumerate(vals)))
     iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    return ((pattern >> iota) & 1).astype(jnp.float32)
+    return ((pattern >> iota) & 1).astype(dtype)
 
 
 def _make_kernel_v3(t_train: int, l_win: int, tile_n: int):
@@ -199,7 +199,7 @@ def _make_kernel_v3(t_train: int, l_win: int, tile_n: int):
 
 
 
-def _make_kernel(t_train: int, l_win: int):
+def _make_kernel(t_train: int, l_win: int, dtype=jnp.float32):
     tab = _tables()
     pred0 = tuple(int(v) for v in tab["pred"][:, 0])
     pred1 = tuple(int(v) for v in tab["pred"][:, 1])
@@ -211,9 +211,10 @@ def _make_kernel(t_train: int, l_win: int):
     steps = t_train + l_win
 
     def kernel(gsa, gpa, ma, gsb, gpb, mb, a0, b0, out, astore):
-        U0, U1 = _const_col(u0v), _const_col(u1v)
-        Q0, Q1 = _const_col(q0v), _const_col(q1v)
-        P0, P1 = _const_col(p0v), _const_col(p1v)
+        U0, U1 = _const_col(u0v, dtype), _const_col(u1v, dtype)
+        Q0, Q1 = _const_col(q0v, dtype), _const_col(q1v, dtype)
+        P0, P1 = _const_col(p0v, dtype), _const_col(p1v, dtype)
+        one = jnp.asarray(1.0, dtype)
 
         def alpha_acs(alpha, gs, gp):
             c0 = _restack(alpha, pred0) + U0 * gs + Q0 * gp
@@ -233,7 +234,7 @@ def _make_kernel(t_train: int, l_win: int):
             gp = gpa[pl.ds(i, 1), :]
             m = ma[pl.ds(i, 1), :]
             new = alpha_acs(alpha, gs, gp)
-            return m * new + (1.0 - m) * alpha
+            return m * new + (one - m) * alpha
 
         alpha = jax.lax.fori_loop(0, t_train, fwd_train, a0[:, :])
 
@@ -249,7 +250,7 @@ def _make_kernel(t_train: int, l_win: int):
             gp = gpb[pl.ds(i, 1), :]
             m = mb[pl.ds(i, 1), :]
             new = beta_acs(beta, gs, gp)
-            return m * new + (1.0 - m) * beta
+            return m * new + (one - m) * beta
 
         # Masked steps (the last window's k >= K region) occur at i <= T-1,
         # so training covers [0, T).  The beta after step T-1 is the
@@ -304,7 +305,7 @@ def map_windowed_pallas(
     if interpret:
         tile_n = min(tile_n, 256)
     else:
-        tile_n = int(os.environ.get("TURBO_TILE", "1024" if kern_ver == "v1" else "512"))
+        tile_n = int(os.environ.get("TURBO_TILE", "1024" if kern_ver != "v3" else "512"))
     if n % tile_n != 0:
         pad = tile_n - n % tile_n
         padf = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
@@ -322,17 +323,32 @@ def map_windowed_pallas(
         kernel = _make_kernel_v3(t_train, l_win, tile_n)
         scratch = [pltpu.VMEM((l_win, 8, tile_n // 2), jnp.float32),
                    pltpu.VMEM((l_win, 8, tile_n // 2), jnp.float32)]
+        dtype = jnp.float32
+    elif kern_ver == "bf16":
+        # 16-bit metric path (the reference decodes in int16/int8,
+        # turbodecoder.c:35-90): halves the vregs per trellis step; the
+        # per-step max-normalisation keeps the dynamic range well inside
+        # bf16's 8-bit mantissa
+        dtype = jnp.bfloat16
+        kernel = _make_kernel(t_train, l_win, dtype)
+        scratch = [pltpu.VMEM((l_win, 8, tile_n), dtype)]
     else:
+        dtype = jnp.float32
         kernel = _make_kernel(t_train, l_win)
         scratch = [pltpu.VMEM((l_win, 8, tile_n), jnp.float32)]
+    if dtype != jnp.float32:
+        conv = lambda x: x.astype(dtype)
+        gsa, gpa, ma = conv(gsa), conv(gpa), conv(ma)
+        gsb, gpb, mb = conv(gsb), conv(gpb), conv(mb)
+        a_init, b_init = conv(a_init), conv(b_init)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec_g] * 6 + [spec_i, spec_i],
         out_specs=pl.BlockSpec((l_win, tile_n), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((l_win, np_), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((l_win, np_), dtype),
         scratch_shapes=scratch,
         interpret=interpret,
     )(gsa, gpa, ma, gsb, gpb, mb, a_init, b_init)
-    return out[:, :n]
+    return out[:, :n].astype(jnp.float32)

@@ -490,21 +490,44 @@ def turbo_decode(
 
         g = jnp.asarray(crc_matrix(k, early_crc), dtype=jnp.float32)
 
-        def all_crc_ok(app):
+        def crc_ok_per_block(app):
             bits = (app > 0).astype(jnp.float32)
             rem = jnp.dot(bits, g, preferred_element_type=jnp.float32)
-            return jnp.all((rem.astype(jnp.int32) & 1) == 0)
+            return jnp.all((rem.astype(jnp.int32) & 1) == 0, axis=-1)  # (B,)
+
+        # The loop advances one HALF-iteration at a time and checks the
+        # CRC after each half — at high SNR decoder 1's first pass already
+        # converges, so the common case pays ~half the reference's
+        # iteration granularity (sch.c:371 checks per full iteration).
+        # Per-block early stop: a block whose CRC checks is FROZEN — its
+        # APP/extrinsics no longer change, so late halves cannot flip a
+        # converged block while stragglers keep iterating.
+        def h1(la):
+            lsa = ls + la
+            lapp = half(lsa, lp1, t1_sys, t1_par)
+            e = ext_scale * (lapp - lsa)
+            return e[..., perm], lapp
+
+        def h2(la):
+            lsa = ls_int + la
+            lapp = half(lsa, lp2, t2_sys, t2_par)
+            e = ext_scale * (lapp - lsa)
+            return e[..., iperm], lapp[..., iperm]
 
         def cond(carry):
-            _, app, it, done = carry
-            return (~done) & (it < n_iter)
+            _, _, hi, done = carry
+            return (~jnp.all(done)) & (hi < 2 * n_iter)
 
         def body(carry):
-            la1, _, it, _ = carry
-            la1, app = iteration(la1)
-            return la1, app, it + 1, all_crc_ok(app)
+            la, app, hi, done = carry
+            la_n, app_n = jax.lax.cond(hi % 2 == 0, h1, h2, la)
+            keep = done[:, None]
+            la_n = jnp.where(keep, la, la_n)
+            app_n = jnp.where(keep, app, app_n)
+            return la_n, app_n, hi + 1, done | crc_ok_per_block(app_n)
 
-        init = (la1, jnp.zeros_like(ls), jnp.int32(0), jnp.bool_(False))
+        init = (la1, jnp.zeros_like(ls), jnp.int32(0),
+                jnp.zeros(ls.shape[0], bool))
         la1, app, _, _ = jax.lax.while_loop(cond, body, init)
 
     return (app > 0).astype(jnp.int8), app
