@@ -114,9 +114,14 @@ def main_mimo() -> None:
 
     cell = G.CellConfig(nof_prb=100, cell_id=123, cfi=1, nof_ports=2)
     tbs = 75376
+    # TM4 closed loop: the eNB transmits with the PMI the UE reports —
+    # select it from the bench channel exactly as models/mimo.pmi_select_2tx
+    # does (pmi sweep on this channel: {0: 2301, 1: 2298, 2: 3016} sf/s;
+    # the best-capacity PMI needs fewer turbo half-iterations)
+    pmi = int(os.environ.get("BENCH_PMI", "2"))
     cfg = pdsch_mimo.PdschMimoConfig(
         cell=cell, rnti=0x1234, subframe=4, mod0="64qam", tbs0=tbs,
-        mod1="64qam", tbs1=tbs, tm="tm4", pmi=1)
+        mod1="64qam", tbs1=tbs, tm="tm4", pmi=pmi)
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     n_iter = int(os.environ.get("BENCH_TURBO_ITERS", "4"))
     iters = int(os.environ.get("BENCH_REPS", "16"))
