@@ -199,7 +199,9 @@ def _make_kernel_v3(t_train: int, l_win: int, tile_n: int):
 
 
 
-def _make_kernel(t_train: int, l_win: int, dtype=jnp.float32):
+def _make_kernel(t_train: int, l_win: int, dtype=jnp.float32,
+                 unroll: int = 1):
+    assert l_win % unroll == 0
     tab = _tables()
     pred0 = tuple(int(v) for v in tab["pred"][:, 0])
     pred1 = tuple(int(v) for v in tab["pred"][:, 1])
@@ -238,11 +240,17 @@ def _make_kernel(t_train: int, l_win: int, dtype=jnp.float32):
 
         alpha = jax.lax.fori_loop(0, t_train, fwd_train, a0[:, :])
 
-        def fwd_body(i, alpha):
-            astore[pl.ds(i - t_train, 1)] = alpha[None]
-            return alpha_acs(alpha, gsa[pl.ds(i, 1), :], gpa[pl.ds(i, 1), :])
+        def fwd_body(j, alpha):
+            # unrolled: one loop iteration advances `unroll` trellis steps
+            # (dynamic-slice index arithmetic + loop bookkeeping amortised)
+            i0 = t_train + j * unroll
+            for u in range(unroll):
+                astore[pl.ds(i0 - t_train + u, 1)] = alpha[None]
+                alpha = alpha_acs(alpha, gsa[pl.ds(i0 + u, 1), :],
+                                  gpa[pl.ds(i0 + u, 1), :])
+            return alpha
 
-        jax.lax.fori_loop(t_train, steps, fwd_body, alpha)
+        jax.lax.fori_loop(0, l_win // unroll, fwd_body, alpha)
 
         # ---- beta: masked training then body with fused LLR ----------------
         def bwd_train(i, beta):
@@ -269,16 +277,24 @@ def _make_kernel(t_train: int, l_win: int, dtype=jnp.float32):
 
         emit_llr(l_win - 1, beta, t_train)
 
-        def bwd_body(i, beta):
-            beta = beta_acs(beta, gsb[pl.ds(i, 1), :], gpb[pl.ds(i, 1), :])
-
-            @pl.when(i <= steps - 2)
-            def _():
-                emit_llr(l_win + t_train - 2 - i, beta, i + 1)
-
+        def bwd_body(j, beta):
+            i0 = t_train + j * unroll
+            for u in range(unroll):
+                i = i0 + u
+                beta = beta_acs(beta, gsb[pl.ds(i, 1), :],
+                                gpb[pl.ds(i, 1), :])
+                if unroll == 1:
+                    @pl.when(i <= steps - 2)
+                    def _(beta=beta, i=i):
+                        emit_llr(l_win + t_train - 2 - i, beta, i + 1)
+                else:
+                    # last step of the last unrolled iteration has no emit
+                    @pl.when(i <= steps - 2)
+                    def _(beta=beta, i=i):
+                        emit_llr(l_win + t_train - 2 - i, beta, i + 1)
             return beta
 
-        jax.lax.fori_loop(t_train, steps, bwd_body, beta)
+        jax.lax.fori_loop(0, l_win // unroll, bwd_body, beta)
 
     return kernel
 
@@ -334,7 +350,10 @@ def map_windowed_pallas(
         scratch = [pltpu.VMEM((l_win, 8, tile_n), dtype)]
     else:
         dtype = jnp.float32
-        kernel = _make_kernel(t_train, l_win)
+        unroll = int(os.environ.get("TURBO_UNROLL", "4"))
+        if l_win % unroll != 0:
+            unroll = 1
+        kernel = _make_kernel(t_train, l_win, unroll=unroll)
         scratch = [pltpu.VMEM((l_win, 8, tile_n), jnp.float32)]
     if dtype != jnp.float32:
         conv = lambda x: x.astype(dtype)
