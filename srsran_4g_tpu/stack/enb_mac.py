@@ -108,7 +108,11 @@ class EnbMac:
         self.rx_dcch: Callable[[int, int, bytes], None] = lambda *_: None
         self.rx_drb: Callable[[int, int, bytes], None] = lambda *_: None
         self.metrics = {"rach": 0, "dl_tx": 0, "dl_retx": 0, "ul_crc_ok": 0,
-                        "ul_crc_ko": 0, "si_tx": 0}
+                        "ul_crc_ko": 0, "si_tx": 0, "scell_tx": 0}
+        # carrier aggregation: one extra DL scheduler per SCell
+        # (sched.cc per-carrier sched_carrier; activation per 36.321 CE)
+        self.scell_sched: Optional[sched.DlScheduler] = None
+        self.scell_active: set[int] = set()   # rntis with the SCell on
         # BCCH-DL-SCH broadcast (sched_si): message i goes out in the TTI
         # where tti mod (period * n) == i * period + 1
         self.si_messages: list[bytes] = []
@@ -212,11 +216,11 @@ class EnbMac:
         for g in self.dl_sched.get_dl_sched(tti):
             ue = self.ues[g.rnti]
             if g.is_retx:
-                pdu = ue.dl_pdu_buf.get(g.harq_pid, bytes(g.tbs // 8))
+                pdu = ue.dl_pdu_buf.get((0, g.harq_pid), bytes(g.tbs // 8))
                 self.metrics["dl_retx"] += 1
             else:
                 pdu = self._generate_pdu(ue, g.tbs // 8)
-                ue.dl_pdu_buf[g.harq_pid] = pdu
+                ue.dl_pdu_buf[(0, g.harq_pid)] = pdu
                 self.metrics["dl_tx"] += 1
             rb_start = min(g.prb_mask)
             d = dci_mod.Dci1A(rb_start=rb_start, l_crbs=len(g.prb_mask),
@@ -303,12 +307,56 @@ class EnbMac:
 
     # -- feedback ------------------------------------------------------------
 
-    def dl_ack_info(self, rnti: int, pid: int, ack: bool) -> None:
-        if rnti not in self.dl_sched.ues:
+    def dl_ack_info(self, rnti: int, pid: int, ack: bool,
+                    cc: int = 0) -> None:
+        s = self.dl_sched if cc == 0 else self.scell_sched
+        if s is None or rnti not in s.ues:
             return
-        self.dl_sched.dl_ack_info(rnti, pid, ack)
+        s.dl_ack_info(rnti, pid, ack)
         if ack:
-            self.ues[rnti].dl_pdu_buf.pop(pid, None)
+            self.ues[rnti].dl_pdu_buf.pop((cc, pid), None)
+
+    # -- carrier aggregation (CaScheduler semantics over the air) -----------
+
+    def enable_scell(self, nof_prb: int) -> None:
+        self.scell_sched = sched.DlScheduler(nof_prb, policy="pf")
+
+    def scell_activate(self, rnti: int) -> None:
+        """Queue the 36.321 §6.1.3.8 Activation CE and start scheduling
+        the UE on the SCell."""
+        if self.scell_sched is None or rnti in self.scell_active:
+            return
+        ue = self.ues[rnti]
+        ue.pending_ces.append((mac_pdu.LCID_ACT_DEACT, bytes([0x02])))
+        self.scell_sched.ue_cfg(rnti)
+        self.scell_active.add(rnti)
+
+    def get_dl_sched_scell(self, tti: int) -> list[DlSchedItem]:
+        """SCell grants: data-only (no RAR/SI/CCCH), draining what the
+        PCell left in the shared per-UE buffers this TTI (call AFTER
+        get_dl_sched, CaScheduler shared-buffer semantics)."""
+        items: list[DlSchedItem] = []
+        if self.scell_sched is None:
+            return items
+        for rnti in self.scell_active:
+            ue = self.ues.get(rnti)
+            if ue is not None:
+                self.scell_sched.dl_rlc_buffer_state(
+                    rnti, self._dl_buffer_bytes(ue))
+        for g in self.scell_sched.get_dl_sched(tti):
+            ue = self.ues[g.rnti]
+            if g.is_retx:
+                pdu = ue.dl_pdu_buf.get((1, g.harq_pid), bytes(g.tbs // 8))
+                self.metrics["dl_retx"] += 1
+            else:
+                pdu = self._generate_pdu(ue, g.tbs // 8)
+                ue.dl_pdu_buf[(1, g.harq_pid)] = pdu
+                self.metrics["scell_tx"] += 1
+            d = dci_mod.Dci1A(rb_start=min(g.prb_mask),
+                              l_crbs=len(g.prb_mask), mcs=g.mcs,
+                              harq_pid=g.harq_pid, ndi=g.ndi, rv=g.rv)
+            items.append(DlSchedItem(grant=g, pdu=pdu, dci=d))
+        return items
 
     def dl_cqi_info(self, rnti: int, cqi: int) -> None:
         if rnti in self.dl_sched.ues:

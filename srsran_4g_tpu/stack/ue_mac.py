@@ -194,6 +194,7 @@ class Demux:
         self.pcch_sink: Optional[Callable[[bytes], None]] = None
         self.ta_cmds: list[int] = []
         self.contention_id: Optional[bytes] = None
+        self.active_scells: set[int] = set()
         self.malformed = 0
 
     def add_rlc(self, lcid: int, sink: Callable[[bytes], None]) -> None:
@@ -219,6 +220,12 @@ class Demux:
             elif sub.lcid == mac_pdu.LCID_TA_CMD:  # 6.1.3.5
                 if sub.payload:
                     self.ta_cmds.append(sub.payload[0] & 0x3F)
+            elif sub.lcid == mac_pdu.LCID_ACT_DEACT:  # 6.1.3.8 SCell A/D
+                if sub.payload:
+                    # bit i (i>=1) = SCell index i activation state
+                    self.active_scells = {
+                        i for i in range(1, 8)
+                        if sub.payload[0] & (1 << i)}
             elif sub.lcid == mac_pdu.LCID_CON_RES:
                 self.contention_id = sub.payload
 

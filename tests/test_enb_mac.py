@@ -76,7 +76,7 @@ def test_dl_harq_retx_uses_buffered_pdu():
     assert retx[0].grant.rv == 2 and retx[0].grant.ndi == g.ndi
     # ACK clears the buffer
     m.dl_ack_info(rnti, g.harq_pid, True)
-    assert g.harq_pid not in m.ues[rnti].dl_pdu_buf
+    assert (0, g.harq_pid) not in m.ues[rnti].dl_pdu_buf
 
 
 def test_ul_bsr_triggers_grant_and_sync_harq_pid():

@@ -51,3 +51,20 @@ def test_two_ue_attach_and_ping_6prb():
 @pytest.mark.parametrize("prb", [15, 50, 100])
 def test_prb_matrix_single_ue(prb):
     _run(prb=prb, ues=1, ttis=200)
+
+
+def test_carrier_aggregation_two_cc():
+    """2-CC CA over the air: SCell activation CE after a good CQI
+    report, SCell grants via its own PDCCH, HARQ-ACK for both carriers
+    on the PCell PUCCH, a DL burst exceeding the PCell's per-TTI
+    capacity split across the carriers (test/CMakeLists.txt 2-CC rows;
+    CaScheduler shared-buffer semantics)."""
+    import run_lte
+
+    ok, stats, ues, mme = run_lte.run(
+        n_ttis=280, n_pings=2, snr_db=30.0, nof_prb=6, n_ues=1,
+        n_cc=2, burst_bytes=1400)
+    assert ok, stats
+    assert stats["scell_tx"] > 0, stats          # SCell carried data
+    assert stats["pdsch_ko"] == 0, stats
+    assert 1 in ues[0].mac.demux.active_scells   # activation CE received

@@ -59,6 +59,8 @@ class UeNode:
         self.rrc.tx = lambda lcid, pdu: self.rlc[lcid].write_sdu(pdu)
         self.crnti = 0
         self.ra_rnti = 0
+        from srsran_4g_tpu.stack.ue_mac import DlHarqEntity
+        self.scell_harq = DlHarqEntity()   # per-carrier DL HARQ entity
         self.prach_sent = False
         self.last_snr = 0.0
         self.cqi_sent: list[int] = []
@@ -142,19 +144,32 @@ class UeNode:
             self.pending_pusch.append((due, cfg, out["pdu"]))
 
     def handle_dl_dci(self, tti: int, d, cce_start: int,
-                      pdu: bytes | None) -> None:
+                      pdu: bytes | None, cc: int = 0) -> None:
         from srsran_4g_tpu.stack.ue_mac import DlMacGrant
 
         tbs_bytes = len(pdu) if pdu else 0
         g = DlMacGrant(rnti=self.crnti, pid=d.harq_pid,
                        tbs=tbs_bytes, ndi=bool(d.ndi), tti=tti)
-        self.mac.new_grant_dl(g)
+        if cc == 0:
+            self.mac.new_grant_dl(g)
+        else:
+            self.scell_harq.new_grant(g)
         ok = pdu is not None
         if ok:
-            self.mac.tb_decoded(g, pdu)
+            if cc == 0:
+                self.mac.tb_decoded(g, pdu)
+            elif self.scell_harq.tb_decoded(g.pid, True):
+                # one MAC entity, many carriers: SCell TBs feed the same
+                # demux (36.321: HARQ entity per serving cell, common demux)
+                self.mac.demux.push_pdu(pdu)
+                self.mac.metrics["dl_ok"] += 1
         else:
             self.stats["pdsch_ko"] += 1
-        self.pending_ack.append((tti + 4, cce_start, 0 if ok else 1))
+        # HARQ-ACK on the PCell PUCCH: n_pucch = first CCE (+ an offset
+        # region for the SCell, the framework's channel-selection analog)
+        n_pucch = cce_start if cc == 0 else self.air.cch.n_cce + 4 + cce_start
+        self.pending_ack.append((tti + 4, n_pucch, 0 if ok else 1, cc,
+                                 d.harq_pid))
 
     def handle_ul_dci(self, tti: int, d) -> None:
         from srsran_4g_tpu.models import ra
@@ -173,12 +188,15 @@ class UeNode:
             _, cfg, pdu = due[0]
             pusch = (cfg, pdu)
             self.stats["pusch_tx"] += 1
-        ack = None
         acks = [a for a in self.pending_ack if a[0] <= tti]
         self.pending_ack = [a for a in self.pending_ack if a[0] > tti]
+        ack = None
+        ack2 = None
         if acks:
-            _, n_pucch, bit = acks[0]
+            _, n_pucch, bit = acks[0][:3]
             ack = (n_pucch, bit)
+            if len(acks) > 1:                 # second carrier's ACK
+                ack2 = (acks[1][1], acks[1][2])
         sr = None
         if (pusch is None and self.mac.ra.is_complete()
                 and self.has_ul_data() and not self.pending_pusch):
@@ -193,11 +211,16 @@ class UeNode:
             cqi = (self.n_pucch_2, self.crnti, val)
         if pusch is None and ack is None and sr is None and cqi is None:
             return None
-        return self.air.ue_ul_tx(pusch, ack=ack, sr=sr, cqi=cqi)
+        g = self.air.ue_ul_tx(pusch, ack=ack, sr=sr, cqi=cqi)
+        if ack2 is not None:
+            g2 = self.air.ue_ul_tx(None, ack=ack2)
+            g = g2 if g is None else g + g2
+        return g
 
 
 def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
-        n_ues: int = 1, verbose: bool = False):
+        n_ues: int = 1, n_cc: int = 1, burst_bytes: int = 0,
+        verbose: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -216,6 +239,9 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
     log = (lambda *a: print(*a, flush=True)) if verbose else (lambda *a: None)
 
     air = LteAirPhy(nof_prb=nof_prb, snr_db=snr_db)
+    # carrier aggregation: a second carrier with its own cell id/PHY
+    air_s = (LteAirPhy(nof_prb=nof_prb, cell_id=2, snr_db=snr_db, seed=11)
+             if n_cc == 2 else None)
 
     # ----- EPC
     hss = Hss()
@@ -229,6 +255,8 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
     # ----- eNB: MAC entity + RRC + S1
     enb_mac = EnbMac(nof_prb=nof_prb)
     enb_mac.ul_sched.edge_guard = 2   # PUCCH format-2 + format-1 regions
+    if n_cc == 2:
+        enb_mac.enable_scell(nof_prb)
     enb_rrc = RrcEnb(cell=EnbCellConfig(nof_prb=nof_prb))
     # BCCH broadcast: MIB + SIB1 + SIB2 over SI-RNTI PDSCH (sched_si)
     enb_mac.set_si([
@@ -327,7 +355,7 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
             stats["dci_tx"] += 1
             if not it.is_rar:
                 ack_watch.append((tti + 4, it.grant.rnti,
-                                  it.grant.harq_pid, cce_start))
+                                  it.grant.harq_pid, cce_start, 0))
         for it in ul_items:
             g = it.grant
             cfg = _ul_cfg(air.cell, g.rnti, g.prb_start, g.prb_len, g.mcs,
@@ -346,6 +374,29 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
 
         # 3. DL over the air
         dl_samples = air.enb_dl_tx(tx_list) if tx_list else None
+
+        # 3b. SCell DL (data-only; CaScheduler shared-buffer draining)
+        scell_samples = None
+        if air_s is not None:
+            s_items = enb_mac.get_dl_sched_scell(tti)
+            s_tx = []
+            s_used: set[int] = set()
+            for it in s_items:
+                bits = dci_mod.pack_1a(it.dci, nof_prb)
+                alloc = air_s.cch.alloc(it.grant.rnti, s_used)
+                if alloc is None:
+                    continue
+                l_agg, cce_start = alloc
+                cfg = dci_to_pdsch_cfg(air_s.cell, it.grant.rnti, it.dci)
+                s_tx.append((cfg, it.pdu, bits, it.grant.rnti, l_agg,
+                             cce_start))
+                stats["pdsch_tx"] += 1
+                stats["dci_tx"] += 1
+                ack_watch.append((tti + 4, it.grant.rnti,
+                                  it.grant.harq_pid,
+                                  air.cch.n_cce + 4 + cce_start, 1))
+            if s_tx:
+                scell_samples = air_s.enb_dl_tx(s_tx)
 
         # 4. UE DL reception: blind decode every TTI a DCI could arrive
         if dl_samples is not None:
@@ -375,6 +426,15 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
                             ue.handle_dl_dci(tti, hit["dci"],
                                              hit["cce_start"],
                                              hit.get("pdu"))
+        if scell_samples is not None:
+            for ue in ues:
+                if 1 not in ue.mac.demux.active_scells or not ue.crnti:
+                    continue
+                rx = air_s.ue_dl_rx_multi(scell_samples, ue.crnti)
+                for hit in rx["hits"]:
+                    if "dci" in hit:
+                        ue.handle_dl_dci(tti, hit["dci"], hit["cce_start"],
+                                         hit.get("pdu"), cc=1)
 
         # 5. UL over the air
         cqi_due = (tti % 20) == 5
@@ -395,9 +455,9 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
             # HARQ-ACK
             acks = [w for w in ack_watch if w[0] <= tti]
             ack_watch = [w for w in ack_watch if w[0] > tti]
-            for _, rnti, pid, n_pucch in acks:
+            for _, rnti, pid, n_pucch, cc in acks:
                 r = air.enb_pucch_ack_rx(ul_grid, n_pucch)
-                enb_mac.dl_ack_info(rnti, pid, bool(r))
+                enb_mac.dl_ack_info(rnti, pid, bool(r), cc=cc)
             # SR + CQI
             for ue in ues:
                 if not ue.crnti:
@@ -407,6 +467,10 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
                 if cqi_due:
                     cqi = air.enb_cqi_rx(ul_grid, ue.n_pucch_2, ue.crnti)
                     enb_mac.dl_cqi_info(ue.crnti, cqi)
+                    if air_s is not None and cqi >= 13:
+                        # good-CQI trigger: activate the SCell (36.321 CE)
+                        enb_mac.scell_activate(ue.crnti)
+                        enb_mac.scell_sched.dl_cqi_info(ue.crnti, cqi)
 
         # 6. ping trains once attached
         for ue in ues:
@@ -414,6 +478,12 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
                 attach_tti[ue.idx] = tti
                 log(f"tti {tti}: ue{ue.idx} ATTACHED ip="
                     f"{'.'.join(str(b) for b in ue.nas.ip_addr)}")
+            if (burst_bytes and ue.idx == 0 and ue.idx in attach_tti
+                    and tti == attach_tti[ue.idx] + 30):
+                # one large DL burst after the SCell is active: exceeds
+                # the PCell's per-TTI capacity so the SCell carries part
+                sess = mme.spgw.sessions[ue.ucfg.imsi]
+                mme.spgw.rx_sgi(bytes(16) + sess.ue_ip + bytes(burst_bytes))
             if (ue.idx in attach_tti and pings_sent[ue.idx] < n_pings
                     and tti > attach_tti[ue.idx] + 2
                     and (tti - attach_tti[ue.idx]) % 12 == 0):
@@ -423,7 +493,8 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
                 mme.spgw.rx_sgi(pkt)
                 pings_sent[ue.idx] += 1
 
-    total_pings = n_pings * len(ues)
+    stats["scell_tx"] = enb_mac.metrics["scell_tx"]
+    total_pings = n_pings * len(ues) + (1 if burst_bytes else 0)
     all_cqi_target = all(
         c >= 13 for ue in ues for c in ue.cqi_sent[1:]) if snr_db >= 25 \
         else True
@@ -443,12 +514,17 @@ def main() -> int:
     ap.add_argument("--snr", type=float, default=30.0)
     ap.add_argument("--prb", type=int, default=6)
     ap.add_argument("--ues", type=int, default=2)
+    ap.add_argument("--cc", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--burst", type=int, default=0)
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args()
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+    if args.cc == 2 and not args.burst:
+        args.burst = 1400
     ok, stats, ues, mme = run(args.ttis, args.pings, args.snr,
                               nof_prb=args.prb, n_ues=args.ues,
+                              n_cc=args.cc, burst_bytes=args.burst,
                               verbose=args.v)
     for ue in ues:
         print(f"ue{ue.idx}: attached={ue.nas.is_registered()} "
