@@ -55,12 +55,20 @@ def decode(spec, r: BitReader):
         return r.get(spec[1])
     if kind == "octets":
         return bytes(r.get(8) for _ in range(spec[1]))
+    if kind == "octets*":
+        # unconstrained OCTET STRING: X.691 §11.9 general length
+        n = r.get(8)
+        if n & 0x80:
+            if n >> 6 == 0b10:
+                n = ((n & 0x3F) << 8) | r.get(8)
+            else:
+                raise ValueError("fragmented octet string")
+        return bytes(r.get(8) for _ in range(n))
     if kind == "null":
         return None
     if kind == "seq":
         _, ext, fields = spec
-        if ext and r.get(1):
-            raise ValueError("extension additions not supported")
+        has_ext = bool(ext and r.get(1))
         present = {}
         for name, fspec, opt in fields:
             present[name] = (opt == "m") or bool(r.get(1))
@@ -68,6 +76,27 @@ def decode(spec, r: BitReader):
         for name, fspec, opt in fields:
             if present[name]:
                 out[name] = decode(fspec, r)
+        if has_ext:
+            # X.691 §18.7-9: normally-small count, presence bitmap, then
+            # each present addition group as an open type.  Preserved as
+            # raw octets so re-encoding is byte-exact without a schema.
+            if r.get(1):
+                raise ValueError("large ext addition count")
+            n = r.get(6) + 1
+            bitmap = [bool(r.get(1)) for _ in range(n)]
+            groups = []
+            for p in bitmap:
+                if not p:
+                    groups.append(None)
+                    continue
+                ln = r.get(8)
+                if ln & 0x80:
+                    if ln >> 6 == 0b10:
+                        ln = ((ln & 0x3F) << 8) | r.get(8)
+                    else:
+                        raise ValueError("fragmented open type")
+                groups.append(bytes(r.get(8) for _ in range(ln)))
+            out["_ext"] = groups
         return out
     if kind == "choice":
         _, ext, alts = spec
@@ -105,12 +134,21 @@ def encode(spec, v, w: BitWriter) -> None:
         for b in v:
             w.put(b, 8)
         return
+    if kind == "octets*":
+        if len(v) < 128:
+            w.put(len(v), 8)
+        else:
+            w.put(0b10, 2)
+            w.put(len(v), 14)
+        for b in v:
+            w.put(b, 8)
+        return
     if kind == "null":
         return
     if kind == "seq":
         _, ext, fields = spec
         if ext:
-            w.put(0, 1)
+            w.put(1 if "_ext" in v else 0, 1)
         for name, fspec, opt in fields:
             if opt == "o":
                 w.put(1 if name in v else 0, 1)
@@ -119,6 +157,22 @@ def encode(spec, v, w: BitWriter) -> None:
                 encode(fspec, v[name], w)
             elif opt == "m":
                 raise ValueError(f"missing mandatory field {name}")
+        if "_ext" in v:
+            groups = v["_ext"]
+            w.put(0, 1)
+            w.put(len(groups) - 1, 6)
+            for g in groups:
+                w.put(1 if g is not None else 0, 1)
+            for g in groups:
+                if g is None:
+                    continue
+                if len(g) < 128:
+                    w.put(len(g), 8)
+                else:
+                    w.put(0b10, 2)
+                    w.put(len(g), 14)
+                for b in g:
+                    w.put(b, 8)
         return
     if kind == "choice":
         _, ext, alts = spec
@@ -467,6 +521,305 @@ DL_CCCH_MESSAGE = ("choice", False, [
     ("message_class_extension", ("seq", False, [])),
 ])
 
+# ---- RRCConnectionReconfiguration (DL-DCCH) ---------------------------------
+
+THRESHOLD_EUTRA = ("choice", False, [
+    ("threshold_rsrp", ("int", 0, 97)),
+    ("threshold_rsrq", ("int", 0, 34)),
+])
+
+MEAS_OBJECT_EUTRA = ("seq", True, [
+    ("carrier_freq", ("int", 0, 65535), "m"),
+    ("allowed_meas_bandwidth", ("enum", 6), "m"),
+    ("presence_antenna_port1", ("bool",), "m"),
+    ("neigh_cell_config", ("bits", 2), "m"),
+    ("offset_freq", ("enum", 31), "o"),          # DEFAULT dB0
+    ("cells_to_remove_list", ("seqof", 1, 32, ("int", 1, 32)), "o"),
+    ("cells_to_add_mod_list", ("seqof", 1, 32, ("seq", False, [
+        ("cell_index", ("int", 1, 32), "m"),
+        ("phys_cell_id", ("int", 0, 503), "m"),
+        ("cell_individual_offset", ("enum", 31), "m"),
+    ])), "o"),
+    ("black_cells_to_remove_list", ("seqof", 1, 32, ("int", 1, 32)), "o"),
+    ("black_cells_to_add_mod_list", ("seqof", 1, 32, ("seq", False, [
+        ("cell_index", ("int", 1, 32), "m"),
+        ("phys_cell_id_range", ("seq", False, [
+            ("start", ("int", 0, 503), "m"),
+            ("range", ("enum", 16), "o"),
+        ]), "m"),
+    ])), "o"),
+    ("cell_for_which_to_report_cgi", ("int", 0, 503), "o"),
+])
+
+REPORT_CONFIG_EUTRA = ("seq", True, [
+    ("trigger_type", ("choice", False, [
+        ("event", ("seq", False, [
+            ("event_id", ("choice", True, [
+                ("a1", ("seq", False, [("a1_threshold", THRESHOLD_EUTRA, "m")])),
+                ("a2", ("seq", False, [("a2_threshold", THRESHOLD_EUTRA, "m")])),
+                ("a3", ("seq", False, [
+                    ("a3_offset", ("int", -30, 30), "m"),
+                    ("report_on_leave", ("bool",), "m"),
+                ])),
+                ("a4", ("seq", False, [("a4_threshold", THRESHOLD_EUTRA, "m")])),
+                ("a5", ("seq", False, [
+                    ("a5_threshold1", THRESHOLD_EUTRA, "m"),
+                    ("a5_threshold2", THRESHOLD_EUTRA, "m"),
+                ])),
+            ]), "m"),
+            ("hysteresis", ("int", 0, 30), "m"),
+            ("time_to_trigger", ("enum", 16), "m"),
+        ])),
+        ("periodical", ("seq", False, [("purpose", ("enum", 2), "m")])),
+    ]), "m"),
+    ("trigger_quantity", ("enum", 2), "m"),
+    ("report_quantity", ("enum", 2), "m"),
+    ("max_report_cells", ("int", 1, 8), "m"),
+    ("report_interval", ("enum", 16), "m"),
+    ("report_amount", ("enum", 8), "m"),
+])
+
+MEAS_CONFIG = ("seq", True, [
+    ("meas_object_to_remove_list", ("seqof", 1, 32, ("int", 1, 32)), "o"),
+    ("meas_object_to_add_mod_list", ("seqof", 1, 32, ("seq", False, [
+        ("meas_object_id", ("int", 1, 32), "m"),
+        ("meas_object", ("choice", True, [
+            ("meas_object_eutra", MEAS_OBJECT_EUTRA),
+            ("meas_object_utra", ("null",)),
+            ("meas_object_geran", ("null",)),
+            ("meas_object_cdma2000", ("null",)),
+        ]), "m"),
+    ])), "o"),
+    ("report_config_to_remove_list", ("seqof", 1, 32, ("int", 1, 32)), "o"),
+    ("report_config_to_add_mod_list", ("seqof", 1, 32, ("seq", False, [
+        ("report_config_id", ("int", 1, 32), "m"),
+        ("report_config", ("choice", False, [
+            ("report_config_eutra", REPORT_CONFIG_EUTRA),
+            ("report_config_inter_rat", ("null",)),
+        ]), "m"),
+    ])), "o"),
+    ("meas_id_to_remove_list", ("seqof", 1, 32, ("int", 1, 32)), "o"),
+    ("meas_id_to_add_mod_list", ("seqof", 1, 32, ("seq", False, [
+        ("meas_id", ("int", 1, 32), "m"),
+        ("meas_object_id", ("int", 1, 32), "m"),
+        ("report_config_id", ("int", 1, 32), "m"),
+    ])), "o"),
+    ("quantity_config", ("seq", True, [
+        ("quantity_config_eutra", ("seq", False, [
+            ("filter_coefficient_rsrp", ("enum", 16), "o"),
+            ("filter_coefficient_rsrq", ("enum", 16), "o"),
+        ]), "o"),
+        ("quantity_config_utra", ("null",), "o"),
+        ("quantity_config_geran", ("null",), "o"),
+        ("quantity_config_cdma2000", ("null",), "o"),
+    ]), "o"),
+    ("meas_gap_config", ("choice", False, [
+        ("release", ("null",)),
+        ("setup", ("seq", False, [
+            ("gap_offset", ("choice", True, [
+                ("gp0", ("int", 0, 39)),
+                ("gp1", ("int", 0, 79)),
+            ]), "m"),
+        ])),
+    ]), "o"),
+    ("s_measure", ("int", 0, 97), "o"),
+    ("pre_registration_info_hrpd", ("null",), "o"),
+    ("speed_state_pars", ("choice", False, [
+        ("release", ("null",)),
+        ("setup", ("seq", False, [
+            ("mobility_state_parameters", ("seq", False, [
+                ("t_evaluation", ("enum", 8), "m"),
+                ("t_hyst_normal", ("enum", 8), "m"),
+                ("n_cell_change_medium", ("int", 1, 16), "m"),
+                ("n_cell_change_high", ("int", 1, 16), "m"),
+            ]), "m"),
+            ("time_to_trigger_sf", ("seq", False, [
+                ("sf_medium", ("enum", 4), "m"),
+                ("sf_high", ("enum", 4), "m"),
+            ]), "m"),
+        ])),
+    ]), "o"),
+])
+
+RACH_CONFIG_COMMON = ("seq", True, [
+    ("preamble_info", ("seq", False, [
+        ("number_of_ra_preambles", ("enum", 16), "m"),
+        ("preambles_group_a_config", ("seq", True, [
+            ("size_of_ra_preambles_group_a", ("enum", 15), "m"),
+            ("message_size_group_a", ("enum", 4), "m"),
+            ("message_power_offset_group_b", ("enum", 8), "m"),
+        ]), "o"),
+    ]), "m"),
+    ("power_ramping_parameters", ("seq", False, [
+        ("power_ramping_step", ("enum", 4), "m"),
+        ("preamble_initial_received_target_power", ("enum", 16), "m"),
+    ]), "m"),
+    ("ra_supervision_info", ("seq", False, [
+        ("preamble_trans_max", ("enum", 11), "m"),
+        ("ra_response_window_size", ("enum", 8), "m"),
+        ("mac_contention_resolution_timer", ("enum", 8), "m"),
+    ]), "m"),
+    ("max_harq_msg3_tx", ("int", 1, 8), "m"),
+])
+
+PRACH_CONFIG = ("seq", False, [
+    ("root_sequence_index", ("int", 0, 837), "m"),
+    ("prach_config_info", ("seq", False, [
+        ("prach_config_index", ("int", 0, 63), "m"),
+        ("high_speed_flag", ("bool",), "m"),
+        ("zero_correlation_zone_config", ("int", 0, 15), "m"),
+        ("prach_freq_offset", ("int", 0, 94), "m"),
+    ]), "o"),
+])
+
+PUSCH_CONFIG_COMMON = ("seq", False, [
+    ("pusch_config_basic", ("seq", False, [
+        ("n_sb", ("int", 1, 4), "m"),
+        ("hopping_mode", ("enum", 2), "m"),
+        ("pusch_hopping_offset", ("int", 0, 98), "m"),
+        ("enable_64qam", ("bool",), "m"),
+    ]), "m"),
+    ("ul_reference_signals_pusch", ("seq", False, [
+        ("group_hopping_enabled", ("bool",), "m"),
+        ("group_assignment_pusch", ("int", 0, 29), "m"),
+        ("sequence_hopping_enabled", ("bool",), "m"),
+        ("cyclic_shift", ("int", 0, 7), "m"),
+    ]), "m"),
+])
+
+RADIO_RESOURCE_CONFIG_COMMON = ("seq", True, [
+    ("rach_config_common", RACH_CONFIG_COMMON, "o"),
+    ("prach_config", PRACH_CONFIG, "m"),
+    ("pdsch_config_common", ("seq", False, [
+        ("reference_signal_power", ("int", -60, 50), "m"),
+        ("p_b", ("int", 0, 3), "m"),
+    ]), "o"),
+    ("pusch_config_common", PUSCH_CONFIG_COMMON, "m"),
+    ("phich_config", ("seq", False, [
+        ("phich_duration", ("enum", 2), "m"),
+        ("phich_resource", ("enum", 4), "m"),
+    ]), "o"),
+    ("pucch_config_common", ("seq", False, [
+        ("delta_pucch_shift", ("enum", 3), "m"),
+        ("n_rb_cqi", ("int", 0, 98), "m"),
+        ("n_cs_an", ("int", 0, 7), "m"),
+        ("n1_pucch_an", ("int", 0, 2047), "m"),
+    ]), "o"),
+    ("sounding_rs_ul_config_common", ("choice", False, [
+        ("release", ("null",)),
+        ("setup", ("seq", False, [
+            ("srs_bandwidth_config", ("enum", 8), "m"),
+            ("srs_subframe_config", ("enum", 16), "m"),
+            ("ack_nack_srs_simultaneous_transmission", ("bool",), "m"),
+            ("srs_max_up_pts", ("enum", 1), "o"),
+        ])),
+    ]), "o"),
+    ("uplink_power_control_common", ("seq", False, [
+        ("p0_nominal_pusch", ("int", -126, 24), "m"),
+        ("alpha", ("enum", 8), "m"),
+        ("p0_nominal_pucch", ("int", -127, -96), "m"),
+        ("delta_flist_pucch", ("seq", False, [
+            ("delta_f_pucch_format1", ("enum", 3), "m"),
+            ("delta_f_pucch_format1b", ("enum", 3), "m"),
+            ("delta_f_pucch_format2", ("enum", 4), "m"),
+            ("delta_f_pucch_format2a", ("enum", 3), "m"),
+            ("delta_f_pucch_format2b", ("enum", 3), "m"),
+        ]), "m"),
+        ("delta_preamble_msg3", ("int", -1, 6), "m"),
+    ]), "o"),
+    ("antenna_info_common", ("seq", False, [
+        ("antenna_ports_count", ("enum", 4), "m"),
+    ]), "o"),
+    ("p_max", ("int", -30, 33), "o"),
+    ("tdd_config", ("seq", False, [
+        ("subframe_assignment", ("enum", 7), "m"),
+        ("special_subframe_patterns", ("enum", 9), "m"),
+    ]), "o"),
+    ("ul_cyclic_prefix_length", ("enum", 2), "m"),
+])
+
+MOBILITY_CONTROL_INFO = ("seq", True, [
+    ("target_phys_cell_id", ("int", 0, 503), "m"),
+    ("carrier_freq", ("seq", False, [
+        ("dl_carrier_freq", ("int", 0, 65535), "m"),
+        ("ul_carrier_freq", ("int", 0, 65535), "o"),
+    ]), "o"),
+    ("carrier_bandwidth", ("seq", False, [
+        ("dl_bandwidth", ("enum", 16), "m"),
+        ("ul_bandwidth", ("enum", 16), "o"),
+    ]), "o"),
+    ("additional_spectrum_emission", ("int", 1, 32), "o"),
+    ("t304", ("enum", 8), "m"),
+    ("new_ue_identity", ("bits", 16), "m"),
+    ("radio_resource_config_common", RADIO_RESOURCE_CONFIG_COMMON, "m"),
+    ("rach_config_dedicated", ("seq", False, [
+        ("ra_preamble_index", ("int", 0, 63), "m"),
+        ("ra_prach_mask_index", ("int", 0, 15), "m"),
+    ]), "o"),
+])
+
+PDCP_CONFIG = ("seq", True, [
+    ("discard_timer", ("enum", 8), "o"),
+    ("rlc_am", ("seq", False, [
+        ("status_report_required", ("bool",), "m"),
+    ]), "o"),
+    ("rlc_um", ("seq", False, [
+        ("pdcp_sn_size", ("enum", 2), "m"),
+    ]), "o"),
+    ("header_compression", ("choice", True, [
+        ("not_used", ("null",)),
+        ("rohc", ("seq", True, [
+            ("max_cid", ("int", 1, 16383), "o"),   # DEFAULT 15
+            ("profiles", ("seq", False, [
+                (f"profile{p}", ("bool",), "m")
+                for p in ("0x0001", "0x0002", "0x0003", "0x0004", "0x0006",
+                          "0x0101", "0x0102", "0x0103", "0x0104")
+            ]), "m"),
+        ])),
+    ]), "m"),
+])
+
+DRB_TO_ADD_MOD = ("seq", True, [
+    ("eps_bearer_identity", ("int", 0, 15), "o"),
+    ("drb_identity", ("int", 1, 32), "m"),
+    ("pdcp_config", PDCP_CONFIG, "o"),
+    ("rlc_config", RLC_CONFIG, "o"),
+    ("logical_channel_identity", ("int", 3, 10), "o"),
+    ("logical_channel_config", LOGICAL_CHANNEL_CONFIG, "o"),
+])
+
+SECURITY_CONFIG_HO = ("seq", True, [
+    ("handover_type", ("choice", True, [
+        ("intra_lte", ("seq", False, [
+            ("security_algorithm_config", ("seq", False, [
+                ("ciphering_algorithm", ("enum+", 8), "m"),
+                ("integrity_prot_algorithm", ("enum+", 8), "m"),
+            ]), "o"),
+            ("key_change_indicator", ("bool",), "m"),
+            ("next_hop_chaining_count", ("int", 0, 7), "m"),
+        ])),
+        ("inter_rat", ("null",)),
+    ]), "m"),
+])
+
+RRC_CONNECTION_RECONFIGURATION = ("seq", False, [
+    ("rrc_transaction_identifier", ("int", 0, 3), "m"),
+    ("critical_extensions", ("choice", False, [
+        ("c1", ("choice", False, [
+            ("rrc_connection_reconfiguration_r8", ("seq", False, [
+                ("meas_config", MEAS_CONFIG, "o"),
+                ("mobility_control_info", MOBILITY_CONTROL_INFO, "o"),
+                ("dedicated_info_nas_list",
+                 ("seqof", 1, 11, ("octets*",)), "o"),
+                ("radio_resource_config_dedicated",
+                 RADIO_RESOURCE_CONFIG_DEDICATED, "o"),
+                ("security_config_ho", SECURITY_CONFIG_HO, "o"),
+                ("non_critical_extension", ("seq", False, []), "o"),
+            ]))] + _spare(("null",), 7))),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
 # ---- UECapabilityEnquiry (DL-DCCH) ------------------------------------------
 
 UE_CAPABILITY_ENQUIRY = ("seq", False, [
@@ -488,7 +841,7 @@ DL_DCCH_MESSAGE = ("choice", False, [
         ("dl_information_transfer", ("null",)),
         ("handover_from_eutra_preparation_request", ("null",)),
         ("mobility_from_eutra_command", ("null",)),
-        ("rrc_connection_reconfiguration", ("null",)),
+        ("rrc_connection_reconfiguration", RRC_CONNECTION_RECONFIGURATION),
         ("rrc_connection_release", ("null",)),
         ("security_mode_command", ("null",)),
         ("ue_capability_enquiry", UE_CAPABILITY_ENQUIRY),

@@ -154,6 +154,10 @@ def test_nas_eps_pack_from_fields_matches_reference_pack_test():
 RRC_VECTORS = [
     (U.UL_DCCH_MESSAGE, "0810493C0D978983C084208208210001BC48",
      "measurement_report"),
+    (U.DL_DCCH_MESSAGE,
+     "201b3f8000000001a9088000002900978000000001042214"
+     "00f8020ac06000a00c8042029f4307dabcf84b321834c0002d68085e1800168000",
+     "rrc_connection_reconfiguration"),
     (U.DL_DCCH_MESSAGE, "380000", "ue_capability_enquiry"),
     (U.DL_CCCH_MESSAGE, "6012980bfdd204fa183ed5e6c25990c1a60001314042508000f8",
      "rrc_connection_setup"),
@@ -191,6 +195,28 @@ def test_rrc_measurement_report_fields():
     assert len(cgi["plmn_identity_list"]) == 1
     assert "mcc" not in cgi["plmn_identity_list"][0]
     assert n["meas_result"] == dict(rsrp_result=60, rsrq_result=18)
+
+
+def test_rrc_reconfiguration_ho_fields():
+    """The 57-byte handover command (srsran_asn1_rrc_dl_dcch_test.cc
+    rrc_conn_reconfig_ho_test1): full measConfig + mobilityControlInfo
+    (radioResourceConfigCommon incl. PRACH/PUSCH/PUCCH/SRS/power
+    control) + securityConfigHO, byte-exact incl. an X.691 extension
+    addition group preserved as an open type."""
+    raw = bytes.fromhex(RRC_VECTORS[1][1])
+    v, _ = U.decode_bytes(U.DL_DCCH_MESSAGE, raw)
+    r8 = v[1][1]["critical_extensions"][1][1]
+    mci = r8["mobility_control_info"]
+    assert mci["target_phys_cell_id"] == 272
+    assert mci["new_ue_identity"] == 0x3E
+    assert mci["radio_resource_config_common"]["prach_config"][
+        "root_sequence_index"] == 86
+    mc = r8["meas_config"]
+    assert mc["meas_id_to_add_mod_list"] == [
+        dict(meas_id=1, meas_object_id=1, report_config_id=1)]
+    ho = r8["security_config_ho"]["handover_type"]
+    assert ho[0] == "intra_lte" and ho[1]["next_hop_chaining_count"] == 0
+    assert "radio_resource_config_dedicated" in r8
 
 
 def test_rrc_connection_setup_fields():
