@@ -220,7 +220,7 @@ def test_rrc_reconfiguration_ho_fields():
 
 
 def test_rrc_connection_setup_fields():
-    raw = bytes.fromhex(RRC_VECTORS[2][1])
+    raw = bytes.fromhex(RRC_VECTORS[3][1])
     v, _ = U.decode_bytes(U.DL_CCCH_MESSAGE, raw)
     r8 = v[1][1]["critical_extensions"][1][1]
     phy = r8["radio_resource_config_dedicated"]["physical_config_dedicated"]
@@ -235,7 +235,7 @@ def test_rrc_connection_setup_fields():
 
 
 def test_rrc_mcch_fields():
-    raw = bytes.fromhex(RRC_VECTORS[3][1])
+    raw = bytes.fromhex(RRC_VECTORS[4][1])
     v, _ = U.decode_bytes(U.MCCH_MESSAGE, raw)
     cfg = v[1][1]
     a0, a1 = cfg["common_sf_alloc_r9"]
