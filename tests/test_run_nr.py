@@ -26,6 +26,7 @@ def test_nr_sa_system_e2e():
     assert ue.nas.state == "REGISTERED"
     assert stats["pdsch_ko"] == 0 and stats["pusch_ko"] == 0
     assert stats["dl_ping_rx"] == 2 and stats["ul_ping_rx"] == 2
+    assert stats["ack_rx"] >= 1      # DL HARQ-ACKs carried on PUCCH-NR F1
     assert ok
 
 

@@ -158,6 +158,36 @@ class NrAirPhy:
         awgn_f = self._fn(("awgn",), self._build_awgn)
         return awgn_f(grid, self.key())
 
+    PUCCH_SYMS = (10, 11, 12, 13)
+
+    def ue_pucch_ack_tx(self, grid, ack_bit: int):
+        """Place a PUCCH-NR format-1 HARQ-ACK on PRB 0 of the UL slot
+        (38.211 6.3.2.4; PRB 0 is reserved from PUSCH allocations)."""
+        from srsran_4g_tpu.models import pucch_nr
+
+        jnp = self.jax.numpy
+        cfg1 = pucch_nr.PucchNrF1Config(pci=self.car.pci, nof_symb=4)
+        sym = pucch_nr.f1_encode(cfg1, jnp.asarray([[ack_bit]], jnp.int8))
+        if grid is None:
+            grid = jnp.zeros((1, 14, self.car.nre), jnp.complex64)
+            awgn_f = self._fn(("awgn",), self._build_awgn)
+            grid = awgn_f(grid, self.key())
+        g = jnp.asarray(grid)
+        return g.at[:, jnp.asarray(self.PUCCH_SYMS), 0:12].add(sym)
+
+    def gnb_pucch_ack_rx(self, grid) -> bool | None:
+        """→ True ACK / False NACK / None DTX (metric threshold)."""
+        from srsran_4g_tpu.models import pucch_nr
+
+        jnp = self.jax.numpy
+        cfg1 = pucch_nr.PucchNrF1Config(pci=self.car.pci, nof_symb=4)
+        rx = jnp.asarray(grid)[:, jnp.asarray(self.PUCCH_SYMS), 0:12]
+        out = pucch_nr.f1_decode(cfg1, rx)
+        z = complex(np.asarray(out["symbol"])[0])
+        if abs(z) < 10 * self.nv:
+            return None
+        return int(np.asarray(out["bits"])[0, 0]) == 0
+
     def gnb_ul_rx(self, grid, cfg) -> bytes | None:
         from srsran_4g_tpu.models import pusch_nr
 
@@ -286,6 +316,11 @@ def run(n_slots: int, n_pings: int, snr_db: float, verbose: bool = False):
     gnb_msg3_wait = False
     ue_pending_pusch: list[tuple] = []   # (cfg, pdu)
     gnb_pusch_watch: list[tuple] = []    # (grant-tbs cfg, pid)
+    ue_pending_ack: list[int] = []       # ack bits for the next UL slot
+    gnb_ack_watch: list[tuple] = []      # (pid, pdu, ndi) awaiting HARQ-ACK
+    gnb_retx_q: list[tuple] = []         # (pid, pdu, ndi) NACKed DL PDUs
+    stats["ack_rx"] = 0
+    stats["dl_retx"] = 0
     ue_last_bsr = 0
     pings_sent = 0
     reg_slot = None
@@ -336,7 +371,7 @@ def run(n_slots: int, n_pings: int, snr_db: float, verbose: bool = False):
             msg3_tbs = ra_nr.dl_tbs(MCS, 4)
             rar = MAC.pack_rar([MAC.NrRarGrant(
                 rapid=rapid, ta=2,
-                ul_grant=(dci_nr.riv_encode(car.nof_prb, 0, 4) << 5) | MCS,
+                ul_grant=(dci_nr.riv_encode(car.nof_prb, 1, 4) << 5) | MCS,
                 tc_rnti=crnti)])
             n_rb = l_rbs_for(len(rar))
             d = dci_nr.DciNr10(n_rb=car.nof_prb, rb_start=0, l_rbs=n_rb,
@@ -348,8 +383,18 @@ def run(n_slots: int, n_pings: int, snr_db: float, verbose: bool = False):
             gnb_msg3_wait = True
             gnb_pusch_watch.append(
                 (air.dci_to_cfg(crnti, dci_nr.DciNr00(
-                    n_rb=car.nof_prb, rb_start=0, l_rbs=4, mcs=MCS),
+                    n_rb=car.nof_prb, rb_start=1, l_rbs=4, mcs=MCS),
                     UL_SLOT, ul=True), 0))
+        elif gnb_retx_q:
+            pid, pdu_b, ndi_b = gnb_retx_q.pop(0)
+            n_rb = l_rbs_for(len(pdu_b))
+            d = dci_nr.DciNr10(n_rb=car.nof_prb, rb_start=0, l_rbs=n_rb,
+                               mcs=MCS, ndi=int(ndi_b), harq_pid=pid, rv=2)
+            cfg = air.dci_to_cfg(crnti, d, DL_SLOT)
+            items.append((cfg, pdu_b.ljust(cfg.tbs // 8, b"\0")[:cfg.tbs // 8],
+                          np.unpackbits(np.frombuffer(d.pack(), np.uint8))
+                          [:air.dci_len].astype(np.int8), crnti, 2, 0))
+            gnb_ack_watch.append((pid, pdu_b, ndi_b))
         else:
             dl_bytes = (sum(len(p) + 8 for p in gnb_rlc[0])
                         + (220 if gnb_rlc[1].has_data() else 0)
@@ -368,15 +413,17 @@ def run(n_slots: int, n_pings: int, snr_db: float, verbose: bool = False):
                                   np.unpackbits(np.frombuffer(
                                       d.pack(), np.uint8))[:air.dci_len]
                                   .astype(np.int8), crnti, 2, 0))
+                    gnb_ack_watch.append((pid, pdu, ndi))
             # UL grant while the UE reports data; one DCI per slot to the
             # C-RNTI (the fallback search space carries one decode)
             if ue_last_bsr > 0 and not gnb_msg3_wait and not items:
                 pid = (slot + 1) % 16
                 ul_ndi = not ul_ndi
-                d0 = dci_nr.DciNr00(n_rb=car.nof_prb, rb_start=0,
-                                    l_rbs=l_rbs_for(ue_last_bsr), mcs=MCS,
-                                    ndi=int(ul_ndi), harq_pid=pid,
-                                    target_bits=air.dci_len)
+                d0 = dci_nr.DciNr00(
+                    n_rb=car.nof_prb, rb_start=1,
+                    l_rbs=min(l_rbs_for(ue_last_bsr), car.nof_prb - 1),
+                    mcs=MCS, ndi=int(ul_ndi), harq_pid=pid,
+                    target_bits=air.dci_len)
                 items.append((None, None,
                               np.unpackbits(np.frombuffer(
                                   d0.pack(), np.uint8))[:air.dci_len]
@@ -433,11 +480,27 @@ def run(n_slots: int, n_pings: int, snr_db: float, verbose: bool = False):
                     stats["pdsch_ko"] += 1
                 elif new_tx:
                     ue_mac.tb_decoded(g, pdu)
+                ue_pending_ack.append(0 if pdu is not None else 1)
 
         # ---- UE UL slot
-        if ue_pending_pusch:
-            cfg, pdu = ue_pending_pusch.pop(0)
-            grid = air.ue_ul_tx(cfg, pdu)
+        if ue_pending_pusch or ue_pending_ack:
+            grid = None
+            if ue_pending_pusch:
+                cfg, pdu = ue_pending_pusch.pop(0)
+                grid = air.ue_ul_tx(cfg, pdu)
+            if ue_pending_ack:
+                grid = air.ue_pucch_ack_tx(grid, ue_pending_ack.pop(0))
+            # gNB: HARQ-ACK first (retx on NACK/DTX), then PUSCH
+            if gnb_ack_watch:
+                r = air.gnb_pucch_ack_rx(grid)
+                pid, pdu_b, ndi_b = gnb_ack_watch.pop(0)
+                if r is True:
+                    stats["ack_rx"] += 1
+                else:
+                    # NACK or DTX: retransmit the buffered PDU with the
+                    # SAME pid/ndi (dl_harq_nr: un-toggled NDI = retx)
+                    stats["dl_retx"] += 1
+                    gnb_retx_q.append((pid, pdu_b, ndi_b))
             watch = [w for w in gnb_pusch_watch]
             gnb_pusch_watch = []
             got = False
@@ -493,6 +556,7 @@ def run(n_slots: int, n_pings: int, snr_db: float, verbose: bool = False):
 
     ok = (stats["ssb_found"] == 1
           and stats.get("prach_detected") == 1
+          and stats["ack_rx"] >= 1          # HARQ-ACKs rode PUCCH-NR
           and ue_mac.ra.is_complete()
           and ue.nas.state == "REGISTERED"
           and amf.registered_ues() == [ucfg.imsi]
