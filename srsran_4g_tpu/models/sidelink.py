@@ -369,3 +369,129 @@ def pssch_decode(cfg: PsschConfig, rx_grid: jnp.ndarray,
     llr = llr[..., jnp.asarray(deperm)]
     bits, ok, _ = sch.dlsch_decode(cfg.plan, llr, n_iter=n_iter)
     return dict(bits=bits, crc_ok=ok)
+
+
+# --------------------------------------------------------------------------
+# PSBCH spec-exact subframe chain (psbch.c + chest_sl.c psbch path) — the
+# reference-capture interop path: decodes the committed
+# `signal_sidelink_ideal_tm2_*` files through the full 36.211 §9.6/9.8
+# processing (the psbch_encode/psbch_decode pair above is the simplified
+# RE-level codec used by the framework-internal loop tests).
+
+PSBCH_DATA_SYMS_TM12 = (0, 4, 5, 6, 7, 8, 9)   # transmitted data symbols
+PSBCH_DMRS_SYMS_TM12 = (3, 10)
+PSBCH_NOF_PRB = 6
+_PSBCH_NSYM = 8           # 8 coded symbols; the 8th is never transmitted
+
+
+def _psbch_dmrs(n_sl_id: int) -> np.ndarray:
+    """(2, 72) PSBCH DMRS (36.211 §9.8: u=(N/16)%30, alpha from
+    (N/2)%8, w = [1, ±1] by N parity)."""
+    from srsran_4g_tpu.models.refsignal_ul import base_sequence
+
+    m_sc = PSBCH_NOF_PRB * 12
+    u = (n_sl_id // 16) % 30
+    alpha = 2.0 * np.pi * ((n_sl_id // 2) % 8) / 12.0
+    r = base_sequence(u, 0, m_sc) * np.exp(1j * alpha * np.arange(m_sc))
+    w1 = -1.0 if n_sl_id % 2 else 1.0
+    return np.stack([r, w1 * r]).astype(np.complex64)
+
+
+def _psbch_perm(e: int) -> np.ndarray:
+    """sl_ulsch_interleave over the 8 PSBCH symbols (Qm=2)."""
+    r = e // (_PSBCH_NSYM * 2)
+    return np.arange(e).reshape(r, _PSBCH_NSYM, 2).transpose(1, 0, 2).reshape(-1)
+
+
+def psbch_tx_subframe(n_sl_id: int, nof_prb: int,
+                      mib_bits: jnp.ndarray) -> jnp.ndarray:
+    """(B, 40) MIB-SL → (B, 14, nof_prb·12) TM1/2 PSBCH subframe grid."""
+    m_sc = PSBCH_NOF_PRB * 12
+    e = _PSBCH_NSYM * m_sc * 2
+    with_crc = jnp.concatenate(
+        [mib_bits.astype(jnp.int8), crc_ops.crc_compute(mib_bits, "16")],
+        axis=-1)
+    cw = convcode.conv_encode(with_crc)
+    bits = rate_match.conv_rate_match(cw, e)
+    bits = bits[..., jnp.asarray(_psbch_perm(e))]
+    scr = sequence.gold_sequence_np(n_sl_id, e).astype(np.int8)
+    bits = jnp.bitwise_xor(bits.astype(jnp.int8), jnp.asarray(scr))
+    syms = modem.modulate("qpsk", bits).reshape(-1, _PSBCH_NSYM, m_sc)
+    # transform precoding per symbol
+    syms = jnp.fft.fft(syms, axis=-1) / np.sqrt(m_sc)
+    b = syms.shape[0]
+    nre = nof_prb * 12
+    k0 = nre // 2 - 36
+    grid = jnp.zeros((b, 14, nre), jnp.complex64)
+    ks = jnp.arange(k0, k0 + m_sc)
+    for i, l in enumerate(PSBCH_DATA_SYMS_TM12):
+        grid = grid.at[:, l, ks].set(syms[:, i])
+    dm = _psbch_dmrs(n_sl_id)
+    for j, l in enumerate(PSBCH_DMRS_SYMS_TM12):
+        grid = grid.at[:, l, ks].set(jnp.asarray(dm[j])[None])
+    return grid
+
+
+def psbch_rx_subframe(n_sl_id: int, nof_prb: int, rx_grid: jnp.ndarray,
+                      noise_var: float = 1e-2) -> dict:
+    """TM1/2 PSBCH receive from a subframe grid (B, 14, nof_prb·12):
+    DMRS LS chest/equalize → IDFT precoding → QPSK LLR → descramble →
+    deinterleave → conv rate dematch → Viterbi → CRC16.
+
+    Returns dict(mib (B, 40), crc_ok (B,))."""
+    m_sc = PSBCH_NOF_PRB * 12
+    e = _PSBCH_NSYM * m_sc * 2
+    nre = nof_prb * 12
+    k0 = nre // 2 - 36
+    ks = jnp.arange(k0, k0 + m_sc)
+    dm = _psbch_dmrs(n_sl_id)
+    h = (rx_grid[:, PSBCH_DMRS_SYMS_TM12[0]][..., ks] * jnp.conj(jnp.asarray(dm[0]))
+         + rx_grid[:, PSBCH_DMRS_SYMS_TM12[1]][..., ks]
+         * jnp.conj(jnp.asarray(dm[1]))) / 2
+    eq = []
+    for l in PSBCH_DATA_SYMS_TM12:
+        y = rx_grid[:, l][..., ks]
+        eq.append(y * jnp.conj(h) / (jnp.abs(h) ** 2 + noise_var))
+    x = jnp.stack(eq, axis=1)                       # (B, 7, 72)
+    d = jnp.fft.ifft(x, axis=-1) * np.sqrt(m_sc)    # IDFT precoding
+    llr = modem.demodulate_soft("qpsk", d.reshape(d.shape[0], -1),
+                                jnp.asarray(noise_var))
+    llr = llr.reshape(d.shape[0], -1)
+    # pad the never-transmitted 8th symbol with zero LLRs
+    llr = jnp.concatenate(
+        [llr, jnp.zeros((llr.shape[0], 2 * m_sc), llr.dtype)], axis=-1)
+    scr = sequence.gold_sequence_np(n_sl_id, e).astype(np.float32)
+    llr = llr * jnp.asarray(1.0 - 2.0 * scr)
+    llr = llr[..., jnp.asarray(np.argsort(_psbch_perm(e)))]
+    dstreams = rate_match.conv_rate_dematch(llr, MIB_SL_LEN + 16)
+    bits = convcode.viterbi_decode(dstreams)
+    ok = crc_ops.crc_check(bits, "16")
+    return dict(mib=bits[..., :MIB_SL_LEN], crc_ok=ok)
+
+
+def sl_demodulate(samples: jnp.ndarray, nof_prb: int) -> jnp.ndarray:
+    """Sidelink OFDM demodulation of one subframe (B, sf_len) → grid
+    (B, 14, nre).
+
+    36.211 SC-FDMA defines the baseband with a +7.5 kHz half-subcarrier
+    offset whose phase restarts at each symbol's body
+    (e^{j2π(k+1/2)Δf(t−N_cp T_s)}), so the receive shift is applied per
+    symbol with a LOCAL phase origin — a continuous time-domain ramp
+    decodes self-generated loops but not third-party captures."""
+    from srsran_4g_tpu.ops.ofdm import OfdmConfig, _symbol_offsets
+    from srsran_4g_tpu.utils import constants as C
+
+    cfg = OfdmConfig(nof_prb=nof_prb)
+    n = cfg.symbol_sz
+    offs = _symbol_offsets(cfg)
+    local = jnp.asarray(
+        np.exp(-1j * np.pi * np.arange(n) / n).astype(np.complex64))
+    nre = cfg.nre
+    rows = []
+    for l in range(14):
+        b = int(offs[l])
+        x = samples[..., b:b + n] * local
+        X = jnp.fft.fft(x, axis=-1) / np.sqrt(n)
+        rows.append(jnp.concatenate(
+            [X[..., -(nre // 2):], X[..., :nre // 2]], axis=-1))
+    return jnp.stack(rows, axis=-2)
