@@ -79,6 +79,15 @@ def _g(a, b, u):
     return b + (1.0 - 2.0 * u) * a
 
 
+def decode_masked(llrs: jnp.ndarray, mask_np) -> jnp.ndarray:
+    """Batched SC decode with an explicit frozen mask; returns the full
+    decided u vector (B, N) — used by the 38.212-exact layer
+    (ops/polar_3gpp.py) whose frozen sets depend on (K, E)."""
+    n = int(np.asarray(mask_np).shape[0])
+    n_log = int(np.log2(n))
+    return _sc_decode(llrs, jnp.asarray(np.asarray(mask_np)), n, n_log)
+
+
 def decode(llrs: jnp.ndarray, k: int, n_log: int) -> jnp.ndarray:
     """Batched successive-cancellation decode.
 
@@ -90,6 +99,14 @@ def decode(llrs: jnp.ndarray, k: int, n_log: int) -> jnp.ndarray:
     n = 1 << n_log
     b = llrs.shape[0]
     mask = jnp.asarray(frozen_mask(k, n_log))
+    out_u = _sc_decode(llrs, mask, n, n_log)
+    info_pos = np.nonzero(~np.asarray(frozen_mask(k, n_log)))[0]
+    return out_u[:, jnp.asarray(info_pos)].astype(jnp.int8)
+
+
+def _sc_decode(llrs: jnp.ndarray, mask: jnp.ndarray, n: int,
+               n_log: int) -> jnp.ndarray:
+    b = llrs.shape[0]
     chan = -llrs.astype(jnp.float32)  # internal: positive ⇒ bit 0
 
     def body(i, out_u):
@@ -111,6 +128,4 @@ def decode(llrs: jnp.ndarray, k: int, n_log: int) -> jnp.ndarray:
         u_i = jnp.where(mask[i], 0, (llr_i < 0).astype(jnp.int32))
         return out_u.at[:, i].set(u_i)
 
-    out_u = jax.lax.fori_loop(0, n, body, jnp.zeros((b, n), jnp.int32))
-    info_pos = np.nonzero(~np.asarray(frozen_mask(k, n_log)))[0]
-    return out_u[:, jnp.asarray(info_pos)].astype(jnp.int8)
+    return jax.lax.fori_loop(0, n, body, jnp.zeros((b, n), jnp.int32))
