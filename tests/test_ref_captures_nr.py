@@ -1,0 +1,70 @@
+"""NR reference-capture interop: decode the real-gNB CORESET#0 capture
+committed next to ue_dl_nr_file_test (lib/src/phy/ue/test/
+CMakeLists.txt:70): 52-PRB carrier at 15.36 Msps, PCI 500, CORESET#0
+index 6 derived from the test's ARFCNs (-A 368500 -a 368410), SI-RNTI
+Type0-PDCCH with the 38.211 interleaved CCE-to-REG mapping and the
+38.212-exact polar chain."""
+
+import os
+
+import numpy as np
+import pytest
+
+CAP = ("/root/reference/lib/src/phy/ue/test/"
+       "ue_dl_nr_pci500_rb52_si_coreset0_idx6_s15.36e6.dat")
+
+
+@pytest.mark.skipif(not os.path.exists(CAP),
+                    reason="reference captures not available")
+def test_si_dci_decodes_from_coreset0_capture():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from srsran_4g_tpu.models import coreset0 as C0
+    from srsran_4g_tpu.models import dci_nr
+
+    # frequencies from the reference test command line (ARFCN × 5 kHz)
+    dl_center = 368500 * 5e3
+    ssb_center = 368410 * 5e3
+    nof_prb, pci = 52, 500
+    point_a = dl_center - nof_prb * 6 * 15e3
+    cs = C0.coreset_zero(pci, ssb_center - point_a, idx=6)
+    assert (cs.nof_prb, cs.duration, cs.offset_rb) == (48, 1, 1)
+
+    raw = np.fromfile(CAP, np.complex64)
+    assert raw.size == 15360              # exactly one 15 kHz slot
+    grid = C0.nr_slot_grid(raw, nof_prb, symbol_sz=1024)
+
+    # DCI 1_0 size in the Type0 CSS = the C-RNTI 1_0 size over the
+    # CORESET0 bandwidth (38.212 7.3.1.0 alignment): 39 bits at 48 PRB
+    a = dci_nr.DciNr10(n_rb=48).nof_bits
+    assert a == 39
+    hit = C0.blind_decode_type0(grid, pci, slot=0, cs=cs, rnti=0xFFFF, a=a)
+    assert hit is not None, "SI-RNTI DCI not found in the capture"
+    # the gNB transmitted at aggregation 4, first candidate
+    assert hit["l_agg"] == 4 and hit["ncce"] == 0
+    bits = hit["bits"]
+    # SI DCI 1_0 fields (38.212 7.3.1.2.1, SI-RNTI): RIV(11 @48 PRB),
+    # time(4), vrb(1), mcs(5), rv(2), si(1), zero padding to 39
+    riv = int("".join(map(str, bits[0:11])), 2)
+    time_assign = int("".join(map(str, bits[11:15])), 2)
+    mcs = int("".join(map(str, bits[16:21])), 2)
+    assert riv == 288 and time_assign == 0 and mcs == 6
+    assert not bits[21:].any()            # rv 0, si 0, padding zero
+
+
+def test_interleaved_mapping_properties():
+    from srsran_4g_tpu.models import coreset0 as C0
+
+    cs = C0.Coreset0(nof_prb=48, duration=1, offset_rb=1, shift_index=500)
+    # candidate ncce0/L4 must land on bundles {0,1,4,5} for shift 500
+    assert C0.interleaved_candidate_rbs(cs, 0, 4) == (
+        list(range(0, 12)) + list(range(24, 36)))
+    # all CCEs together tile the CORESET exactly once
+    all_rbs = C0.interleaved_candidate_rbs(cs, 0, 8)
+    assert all_rbs == list(range(48))
+    # distinct L4 candidates are disjoint
+    c0 = set(C0.interleaved_candidate_rbs(cs, 0, 4))
+    c1 = set(C0.interleaved_candidate_rbs(cs, 4, 4))
+    assert not (c0 & c1)
