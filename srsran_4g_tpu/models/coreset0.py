@@ -20,10 +20,21 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from srsran_4g_tpu.ops import modem, polar_3gpp, sequence
+from srsran_4g_tpu.models import ra_nr, sch_nr
+from srsran_4g_tpu.ops import modem, polar_3gpp, scrambling, sequence
 
 NRE = 12
 SSB_BW_SUBC = 240
+
+# 38.214 Table 5.1.2.1.1-2 default PDSCH time allocation A, normal CP,
+# dmrs-TypeA-Position = pos2: (mapping, S, L).  'A'/'B' per row as in
+# srsran_ra_dl_nr_time_default_A (ra_dl_nr.c:68).
+TIME_DEFAULT_A_POS2 = [
+    ("A", 2, 12), ("A", 2, 10), ("A", 2, 9), ("A", 2, 7), ("A", 2, 5),
+    ("B", 9, 4), ("B", 4, 4), ("B", 5, 7), ("B", 5, 2), ("B", 9, 2),
+    ("B", 12, 2), ("A", 1, 13), ("A", 1, 6), ("A", 2, 4), ("B", 4, 7),
+    ("B", 8, 4),
+]
 
 # TS 38.213 Table 13-1 ({SSB, PDCCH} SCS = {15, 15} kHz, min channel bw
 # 5/10 MHz): (multiplexing pattern, CORESET PRBs, symbols, RB offset)
@@ -135,17 +146,131 @@ def blind_decode_type0(grid: jnp.ndarray, pci: int, slot: int,
     return None
 
 
-def nr_slot_grid(samples: np.ndarray, nof_prb: int,
-                 symbol_sz: int) -> jnp.ndarray:
-    """One 15 kHz NR slot (LTE-equal CP structure) → (1, 14, nof_prb·12)."""
+def dmrs_positions_type_a(ld: int, add_pos: int = 2,
+                          l0: int = 2) -> list[int]:
+    """Single-symbol PDSCH DMRS symbols for mapping type A (38.211
+    Table 7.4.1.1.2-3; srsran_dmrs_sch_get_symbols_idx, dmrs_sch.c:262)."""
+    syms = [l0]
+    if ld < 8 or add_pos == 0:
+        return syms
+    if ld < 10:
+        syms += [7]
+    elif ld < 12:
+        syms += ([6, 9] if add_pos > 2 else [9])
+    elif ld == 12:
+        syms += {1: [9], 2: [6, 9]}.get(add_pos, [5, 8, 11])
+    else:
+        syms += {1: [11], 2: [7, 11]}.get(add_pos, [5, 8, 11])
+    return syms
+
+
+def _sch_dmrs(pci: int, slot: int, sym: int, off_prb: int,
+              n_prb: int) -> np.ndarray:
+    """(6·n_prb,) type-1 PDSCH DMRS, CDM group 0, for allocated PRBs
+    [off_prb, off_prb+n_prb) relative to the sequence reference point
+    (38.211 §7.4.1.1.1: c_init with n_SCID=0, N_ID = PCI)."""
+    cinit = ((1 << 17) * (14 * slot + sym + 1) * (2 * pci + 1)
+             + 2 * pci) % (1 << 31)
+    c = sequence.gold_sequence_np(
+        cinit, 2 * 6 * (off_prb + n_prb)).astype(np.float32)
+    r = ((1 - 2 * c[0::2]) + 1j * (1 - 2 * c[1::2])) / np.sqrt(2)
+    return r[6 * off_prb:6 * (off_prb + n_prb)].astype(np.complex64)
+
+
+def decode_pdsch_common(grid: jnp.ndarray, pci: int, slot: int, rnti: int,
+                        ref_rb: int, riv: int, bwp_prb: int,
+                        time_assign: int, mcs: int, rv: int = 0,
+                        time_ra: tuple[int, int] | None = None,
+                        n_iter: int = 15) -> dict:
+    """Decode a DCI-1_0-scheduled PDSCH from one slot grid.
+
+    Counterpart of srsran_ra_dl_dci_to_grant_nr (ra_nr.c) +
+    srsran_ue_dl_nr_decode_pdsch for the common-search-space case:
+    frequency type-1 RIV over `bwp_prb` PRBs referenced at carrier RB
+    `ref_rb` (= CORESET0's lowest RB for SI/RA/Type0-CSS grants,
+    38.214 §5.1.2.2.2), default time allocation table A with
+    typeA_pos=2 (or an explicit `time_ra` = (S, L) override as the
+    reference's -t flag), 38.214 §5.1.3 MCS/TBS, single-symbol type-1
+    DMRS with 2 CDM groups without data (-3 dB data/DMRS EPRE).
+    """
+    rb_s, rb_l = ra_nr.sliv_decode(bwp_prb, riv)
+    if time_ra is not None:
+        s_sym, l_sym = time_ra
+    else:
+        _, s_sym, l_sym = TIME_DEFAULT_A_POS2[time_assign]
+    ld = s_sym + l_sym  # mapping type A: duration from symbol 0
+    dmrs_syms = dmrs_positions_type_a(ld)
+    qm, r_target = ra_nr.mcs_to_qm_r(mcs)
+    mod = {2: "qpsk", 4: "16qam", 6: "64qam", 8: "256qam"}[qm]
+    tbs = ra_nr.tbs(rb_l, mcs, nof_symb=l_sym,
+                    nof_dmrs_re=12 * len(dmrs_syms))
+
+    row = np.asarray(grid[0])  # (14, nre)
+    crb0 = ref_rb + rb_s       # first allocated carrier RB
+    sc = np.arange(crb0 * NRE, (crb0 + rb_l) * NRE)
+    ks_dmrs = sc[::2]          # comb-2, delta 0
+    # LS estimate per DMRS symbol on the comb, smooth, interp to full band
+    h_syms = []
+    for l in dmrs_syms:
+        r = _sch_dmrs(pci, slot, l, rb_s, rb_l)
+        h_ls = row[l, ks_dmrs] * np.conj(r)
+        hp = np.pad(h_ls, 1, mode="edge")
+        h_syms.append(0.25 * hp[:-2] + 0.5 * hp[1:-1] + 0.25 * hp[2:])
+    h_p = np.stack(h_syms)     # (n_dmrs, 6·rb_l)
+    nv = float(np.mean(np.abs(
+        np.stack([row[l, ks_dmrs] * np.conj(_sch_dmrs(pci, slot, l, rb_s,
+                                                      rb_l))
+                  for l in dmrs_syms]) - h_p) ** 2) / 0.375)
+    comb_k = ks_dmrs.astype(np.float32)
+    full_k = sc.astype(np.float32)
+    ri = np.clip(np.searchsorted(comb_k, full_k), 1, len(comb_k) - 1)
+    li = ri - 1
+    w = (full_k - comb_k[li]) / np.maximum(comb_k[ri] - comb_k[li], 1e-9)
+    h_f = (1 - w) * h_p[:, li] + w * h_p[:, ri]   # (n_dmrs, 12·rb_l)
+    # time interpolation (nearest/linear between DMRS symbols)
+    data_syms = [l for l in range(s_sym, s_sym + l_sym)
+                 if l not in dmrs_syms]
+    t = np.asarray(dmrs_syms, np.float32)
+    h_t = np.stack([
+        h_f[0] if l <= t[0] else h_f[-1] if l >= t[-1] else
+        (lambda j: h_f[j] + (h_f[j + 1] - h_f[j])
+         * (l - t[j]) / (t[j + 1] - t[j]))(int(np.searchsorted(t, l) - 1))
+        for l in data_syms])
+    # 2 CDM groups without data -> data EPRE is -3 dB vs DMRS (38.214 4.1)
+    h_t = h_t / np.sqrt(2)
+    y = row[np.asarray(data_syms)][:, sc]          # (n_data, 12·rb_l)
+    x = (y * np.conj(h_t) / (np.abs(h_t) ** 2 + nv)).reshape(1, -1)
+    llr = np.asarray(modem.demodulate_soft(
+        mod, jnp.asarray(x), max(nv, 1e-4))).reshape(-1)
+    cinit = ((rnti << 15) + pci) % (1 << 31)
+    scr = sequence.gold_sequence_np(cinit, llr.size)
+    llr = llr * (1.0 - 2.0 * scr.astype(np.float32))
+    seg = sch_nr.nr_segment(tbs, llr.size, qm, rv, target_rate=r_target)
+    bits, ok, _ = sch_nr.decode(seg, jnp.asarray(llr[None]), n_iter=n_iter)
+    return dict(bits=np.asarray(bits[0]), crc_ok=bool(ok[0]), tbs=tbs,
+                rb=(rb_s, rb_l), syms=(s_sym, l_sym), mod=mod)
+
+
+def nr_slot_grid(samples: np.ndarray, nof_prb: int, symbol_sz: int,
+                 fc_hz: float = 0.0, slot: int = 0) -> jnp.ndarray:
+    """One 15 kHz NR slot (LTE-equal CP structure) → (1, 14, nof_prb·12).
+
+    `fc_hz` undoes the 38.211 §5.4 upconversion phase compensation the
+    transmitter applied per symbol (e^{-j2π f_c t_l}, t_l = post-CP
+    symbol start); pass the carrier frequency to make the channel
+    phase-coherent across symbols (srsran bakes it into baseband
+    captures — common_phase_compensation in ofdm.c)."""
     cp0 = symbol_sz * 160 // 2048
     cp = symbol_sz * 144 // 2048
     nre = nof_prb * NRE
+    fs = symbol_sz * 15e3
     rows = []
-    pos = 0
+    pos = slot * (14 * symbol_sz + 2 * cp0 + 12 * cp)
     for l in range(14):
         pos += cp0 if l in (0, 7) else cp
         x = np.fft.fft(samples[pos:pos + symbol_sz]) / np.sqrt(symbol_sz)
+        if fc_hz:
+            x = x * np.exp(2j * np.pi * fc_hz * (pos / fs))
         rows.append(np.concatenate([x[-(nre // 2):], x[:nre // 2]]))
         pos += symbol_sz
-    return jnp.asarray(np.stack(rows)[None])
+    return jnp.asarray(np.stack(rows)[None].astype(np.complex64))

@@ -82,6 +82,12 @@ def nr_segment(tbs: int, g: int, qm: int, rv: int = 0,
                   data_lens=tuple(lens))
 
 
+def _interleave_idx(e: int, qm: int) -> np.ndarray:
+    """38.212 §5.4.2.2 bit interleaver: f[j·Qm+i] = e[i·E/Qm + j]
+    (row-write, column-read over a Qm × E/Qm matrix)."""
+    return np.arange(e).reshape(qm, e // qm).T.reshape(-1)
+
+
 def encode(seg: NrSegm, tb_bits: jnp.ndarray) -> jnp.ndarray:
     """(B, tbs) → (B, G) rate-matched bits."""
     b = tb_bits.shape[0]
@@ -108,9 +114,11 @@ def encode(seg: NrSegm, tb_bits: jnp.ndarray) -> jnp.ndarray:
     cw = ldpc.encode(stacked, seg.bg, seg.z).reshape(b, seg.C, -1)
     for ci in range(seg.C):
         used = seg.data_lens[ci] + seg.L_cb
-        outs.append(ldpc.rm_select(
+        sel = ldpc.rm_select(
             cw[:, ci], seg.bg, seg.z, seg.e_bits[ci], rv=seg.rv,
-            n_filler=seg.K - used, k_prime=used))
+            n_filler=seg.K - used, k_prime=used)
+        outs.append(sel[:, jnp.asarray(
+            _interleave_idx(seg.e_bits[ci], seg.qm))])
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -130,8 +138,15 @@ def decode(
         used = seg.data_lens[ci] + seg.L_cb
         n_fill = seg.K - used
         sb = softbuffers.get(ci) if softbuffers else None
+        e_llr = llrs[:, offs[ci]:offs[ci + 1]]
+        # undo the 38.212 §5.4.2.2 bit interleaver (scatter = argsort-free
+        # inverse: position j·Qm+i came from e[i·E/Qm+j])
+        inv = np.empty(seg.e_bits[ci], np.int64)
+        inv[_interleave_idx(seg.e_bits[ci], seg.qm)] = np.arange(
+            seg.e_bits[ci])
+        e_llr = e_llr[:, jnp.asarray(inv)]
         buf = ldpc.rm_collect(
-            llrs[:, offs[ci]:offs[ci + 1]], seg.bg, seg.z, rv=seg.rv,
+            e_llr, seg.bg, seg.z, rv=seg.rv,
             n_filler=n_fill, k_prime=used, softbuffer=sb)
         new_soft[ci] = buf
         if n_fill:

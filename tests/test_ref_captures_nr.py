@@ -34,7 +34,7 @@ def test_si_dci_decodes_from_coreset0_capture():
 
     raw = np.fromfile(CAP, np.complex64)
     assert raw.size == 15360              # exactly one 15 kHz slot
-    grid = C0.nr_slot_grid(raw, nof_prb, symbol_sz=1024)
+    grid = C0.nr_slot_grid(raw, nof_prb, symbol_sz=1024, fc_hz=dl_center)
 
     # DCI 1_0 size in the Type0 CSS = the C-RNTI 1_0 size over the
     # CORESET0 bandwidth (38.212 7.3.1.0 alignment): 39 bits at 48 PRB
@@ -52,6 +52,43 @@ def test_si_dci_decodes_from_coreset0_capture():
     mcs = int("".join(map(str, bits[16:21])), 2)
     assert riv == 288 and time_assign == 0 and mcs == 6
     assert not bits[21:].any()            # rv 0, si 0, padding zero
+
+    # ... and the SIB1 PDSCH that DCI schedules decodes: 7 PRB from
+    # CORESET0's first RB, symbols 2..13, QPSK MCS6 -> TBS 672
+    # (the reference's ue_dl_nr_pci500_rb52_si_coreset0_idx6 test's
+    # "Decoded PDSCH" pass criterion, ue_dl_nr_file_test.cc:241)
+    res = C0.decode_pdsch_common(grid, pci, 0, 0xFFFF, cs.offset_rb,
+                                 riv, 48, time_assign, mcs, rv=0)
+    assert res["crc_ok"] and res["tbs"] == 672
+    assert res["rb"] == (0, 7) and res["syms"] == (2, 12)
+    payload = np.packbits(res["bits"].astype(np.uint8)).tobytes()
+    # a real SIB1: non-zero body, zero-padded tail
+    assert payload[:4] == bytes.fromhex("74810170")
+    assert any(payload) and payload[-6:] == bytes(6)
+
+
+@pytest.mark.skipif(not os.path.exists(CAP),
+                    reason="reference captures not available")
+def test_si_grid_needs_phase_compensation():
+    """The capture carries the 38.211 §5.4 TX phase compensation; the
+    grid helper must undo it for cross-symbol channel coherence."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from srsran_4g_tpu.models import coreset0 as C0
+
+    raw = np.fromfile(CAP, np.complex64)
+    fc = 368500 * 5e3
+    grid = np.asarray(C0.nr_slot_grid(raw, 52, 1024, fc_hz=fc))[0]
+    sc0 = np.arange(1 * 12, 8 * 12, 2)
+    h = {}
+    for l in (2, 7, 11):
+        r = C0._sch_dmrs(500, 0, l, 0, 7)
+        h[l] = (np.asarray(grid[l])[sc0] * np.conj(r)).mean()
+    # inter-DMRS-symbol phase is flat after compensation
+    assert abs(np.angle(h[7] * np.conj(h[2]))) < 0.02
+    assert abs(np.angle(h[11] * np.conj(h[7]))) < 0.02
 
 
 def test_interleaved_mapping_properties():
