@@ -103,6 +103,23 @@ def type0_candidates(nof_cce: int) -> list[tuple[int, int]]:
     return out
 
 
+def css_candidates(nof_cce: int) -> list[tuple[int, int]]:
+    """(L, ncce) common-search-space candidates, largest L first: Y=0,
+    M = min(nof_cce/L, 8) per level (38.213 §10.1;
+    srsran_pdcch_nr_locations_coreset / max_candidates_coreset,
+    pdcch_nr.c:133)."""
+    out = []
+    for l_agg in (16, 8, 4, 2, 1):
+        if l_agg > nof_cce:
+            continue
+        m_max = min(nof_cce // l_agg, 8)
+        for m in range(m_max):
+            ncce = l_agg * ((m * nof_cce // (l_agg * m_max))
+                            % (nof_cce // l_agg))
+            out.append((l_agg, ncce))
+    return out
+
+
 def _pdcch_dmrs(pci: int, slot: int, sym: int, nof_prb: int) -> np.ndarray:
     """(3·nof_prb,) PDCCH DMRS referenced from the CORESET's first RB
     (38.211 §7.4.1.3.2: CORESET#0 reference point is its lowest RB)."""
@@ -115,7 +132,9 @@ def _pdcch_dmrs(pci: int, slot: int, sym: int, nof_prb: int) -> np.ndarray:
 
 def blind_decode_type0(grid: jnp.ndarray, pci: int, slot: int,
                        cs: Coreset0, rnti: int, a: int,
-                       noise_var: float = 0.05) -> dict | None:
+                       noise_var: float = 0.05,
+                       candidates: list[tuple[int, int]] | None = None,
+                       ) -> dict | None:
     """Blind-search the Type0 CSS over one slot grid (B=1, 14, nre).
 
     The carrier grid's RB 0 is pointA.  Returns None or
@@ -125,7 +144,9 @@ def blind_decode_type0(grid: jnp.ndarray, pci: int, slot: int,
     row = np.asarray(grid[0, 0])
     dm = _pdcch_dmrs(pci, slot, 0, cs.nof_prb)
     n_cce = cs.nof_prb * cs.duration // 6
-    for l_agg, ncce in type0_candidates(n_cce):
+    if candidates is None:
+        candidates = type0_candidates(n_cce)
+    for l_agg, ncce in candidates:
         rbs = interleaved_candidate_rbs(cs, ncce, l_agg)
         parts = []
         for p in rbs:
@@ -181,6 +202,7 @@ def decode_pdsch_common(grid: jnp.ndarray, pci: int, slot: int, rnti: int,
                         ref_rb: int, riv: int, bwp_prb: int,
                         time_assign: int, mcs: int, rv: int = 0,
                         time_ra: tuple[int, int] | None = None,
+                        dmrs_ref_rb: int | None = None,
                         n_iter: int = 15) -> dict:
     """Decode a DCI-1_0-scheduled PDSCH from one slot grid.
 
@@ -207,20 +229,22 @@ def decode_pdsch_common(grid: jnp.ndarray, pci: int, slot: int, rnti: int,
 
     row = np.asarray(grid[0])  # (14, nre)
     crb0 = ref_rb + rb_s       # first allocated carrier RB
+    # DMRS sequence reference point: CORESET start for SI-RNTI grants,
+    # CRB0 otherwise (38.211 §7.4.1.1.2; ra_nr.c:660-667)
+    dmrs_ref = ref_rb if dmrs_ref_rb is None else dmrs_ref_rb
+    seq_off = crb0 - dmrs_ref
     sc = np.arange(crb0 * NRE, (crb0 + rb_l) * NRE)
     ks_dmrs = sc[::2]          # comb-2, delta 0
     # LS estimate per DMRS symbol on the comb, smooth, interp to full band
-    h_syms = []
+    h_syms, h_raw = [], []
     for l in dmrs_syms:
-        r = _sch_dmrs(pci, slot, l, rb_s, rb_l)
+        r = _sch_dmrs(pci, slot, l, seq_off, rb_l)
         h_ls = row[l, ks_dmrs] * np.conj(r)
+        h_raw.append(h_ls)
         hp = np.pad(h_ls, 1, mode="edge")
         h_syms.append(0.25 * hp[:-2] + 0.5 * hp[1:-1] + 0.25 * hp[2:])
     h_p = np.stack(h_syms)     # (n_dmrs, 6·rb_l)
-    nv = float(np.mean(np.abs(
-        np.stack([row[l, ks_dmrs] * np.conj(_sch_dmrs(pci, slot, l, rb_s,
-                                                      rb_l))
-                  for l in dmrs_syms]) - h_p) ** 2) / 0.375)
+    nv = float(np.mean(np.abs(np.stack(h_raw) - h_p) ** 2) / 0.375)
     comb_k = ks_dmrs.astype(np.float32)
     full_k = sc.astype(np.float32)
     ri = np.clip(np.searchsorted(comb_k, full_k), 1, len(comb_k) - 1)
@@ -259,18 +283,21 @@ def nr_slot_grid(samples: np.ndarray, nof_prb: int, symbol_sz: int,
     transmitter applied per symbol (e^{-j2π f_c t_l}, t_l = post-CP
     symbol start); pass the carrier frequency to make the channel
     phase-coherent across symbols (srsran bakes it into baseband
-    captures — common_phase_compensation in ofdm.c)."""
+    captures — common_phase_compensation in ofdm.c).  `samples` holds
+    exactly one slot; `slot` only offsets the phase-compensation time
+    reference (t_l is counted from the start of the radio frame)."""
     cp0 = symbol_sz * 160 // 2048
     cp = symbol_sz * 144 // 2048
     nre = nof_prb * NRE
     fs = symbol_sz * 15e3
     rows = []
-    pos = slot * (14 * symbol_sz + 2 * cp0 + 12 * cp)
+    t_off = slot * (14 * symbol_sz + 2 * cp0 + 12 * cp)
+    pos = 0
     for l in range(14):
         pos += cp0 if l in (0, 7) else cp
         x = np.fft.fft(samples[pos:pos + symbol_sz]) / np.sqrt(symbol_sz)
         if fc_hz:
-            x = x * np.exp(2j * np.pi * fc_hz * (pos / fs))
+            x = x * np.exp(2j * np.pi * fc_hz * ((pos + t_off) / fs))
         rows.append(np.concatenate([x[-(nre // 2):], x[:nre // 2]]))
         pos += symbol_sz
     return jnp.asarray(np.stack(rows)[None].astype(np.complex64))

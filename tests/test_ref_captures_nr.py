@@ -67,6 +67,76 @@ def test_si_dci_decodes_from_coreset0_capture():
     assert any(payload) and payload[-6:] == bytes(6)
 
 
+RAR_CAP = ("/root/reference/lib/src/phy/ue/test/"
+           "ue_dl_nr_pci500_rb52_rar_s15.36e6.dat")
+CRNTI_CAP = ("/root/reference/lib/src/phy/ue/test/"
+             "ue_dl_nr_pci500_rb52_rnti0x100_s15.36e6.dat")
+
+
+@pytest.mark.skipif(not os.path.exists(RAR_CAP),
+                    reason="reference captures not available")
+def test_rar_decodes_from_capture():
+    """ue_dl_nr_pci500_rb52_rar: RA-RNTI 0xf DCI in the Type1 CSS on
+    CORESET#0 at slot 5, then the RAR PDSCH (S=1 L=13 as the
+    reference's common_time_ra override, ue_dl_nr_file_test.cc:218)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from srsran_4g_tpu.models import coreset0 as C0
+
+    fc = 368500 * 5e3
+    raw = np.fromfile(RAR_CAP, np.complex64)
+    grid = C0.nr_slot_grid(raw, 52, 1024, fc_hz=fc, slot=5)
+    cs = C0.coreset_zero(500, 368410 * 5e3 - (fc - 52 * 6 * 15e3), idx=6)
+    hit = C0.blind_decode_type0(grid, 500, 5, cs, 0xF, 39,
+                                candidates=C0.css_candidates(8))
+    assert hit is not None and hit["l_agg"] == 4 and hit["ncce"] == 0
+    b = hit["bits"]
+    riv = int("".join(map(str, b[0:11])), 2)
+    mcs = int("".join(map(str, b[16:21])), 2)
+    assert riv == 156 and mcs == 5      # 4 PRB at RB 12, QPSK
+    res = C0.decode_pdsch_common(grid, 500, 5, 0xF, cs.offset_rb, riv, 48,
+                                 0, mcs, 0, time_ra=(1, 13), dmrs_ref_rb=0)
+    assert res["crc_ok"] and res["tbs"] == 352
+    pdu = np.packbits(res["bits"].astype(np.uint8)).tobytes()
+    # MAC RAR: E/T/RAPID subheader + grant, TC-RNTI 0x4601
+    assert pdu[:8] == bytes.fromhex("4201780680024601")
+
+
+@pytest.mark.skipif(not os.path.exists(CRNTI_CAP),
+                    reason="reference captures not available")
+def test_crnti_pdsch_decodes_from_capture():
+    """ue_dl_nr_pci500_rb52_pdsch: C-RNTI 0x100 DCI in a Type3 CSS on a
+    48-PRB interleaved CORESET (same geometry as CORESET#0), dedicated
+    time RA S=1 L=13 (the reference's -t 1 13), full-band 16QAM."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from srsran_4g_tpu.models import coreset0 as C0
+
+    fc = 368500 * 5e3
+    raw = np.fromfile(CRNTI_CAP, np.complex64)
+    grid = C0.nr_slot_grid(raw, 52, 1024, fc_hz=fc, slot=1)
+    cs = C0.Coreset0(nof_prb=48, duration=1, offset_rb=1, shift_index=500)
+    hit = C0.blind_decode_type0(grid, 500, 1, cs, 0x100, 39,
+                                candidates=C0.css_candidates(8))
+    assert hit is not None and hit["l_agg"] == 4
+    b = hit["bits"]
+    assert b[0] == 1                     # DCI format identifier: DL
+    riv = int("".join(map(str, b[1:12])), 2)
+    mcs = int("".join(map(str, b[17:22])), 2)
+    rv = int("".join(map(str, b[23:25])), 2)
+    assert riv == 95 and mcs == 10       # 48 PRB at RB 0, 16QAM
+    res = C0.decode_pdsch_common(grid, 500, 1, 0x100, cs.offset_rb, riv,
+                                 48, 0, mcs, rv, time_ra=(1, 13),
+                                 dmrs_ref_rb=0)
+    assert res["crc_ok"] and res["tbs"] == 7680 and res["mod"] == "16qam"
+    payload = np.packbits(res["bits"].astype(np.uint8)).tobytes()
+    assert any(payload)                  # ue_dl_nr_file_test.cc:256
+
+
 @pytest.mark.skipif(not os.path.exists(CAP),
                     reason="reference captures not available")
 def test_si_grid_needs_phase_compensation():
