@@ -495,3 +495,231 @@ def sl_demodulate(samples: jnp.ndarray, nof_prb: int) -> jnp.ndarray:
         rows.append(jnp.concatenate(
             [X[..., -(nre // 2):], X[..., :nre // 2]], axis=-1))
     return jnp.stack(rows, axis=-2)
+
+
+# --------------------------------------------------------------------------
+# Sidelink TM3/TM4 (V2X): SCI format 1 on a 2-PRB PSCCH + PSSCH in
+# subchannels (36.211 §9.3-9.8, 36.212 §5.4.3.1.2, 36.213 §14.1).
+#
+# Counterpart of the reference's TM3/4 paths in `pscch.c`/`pssch.c`/
+# `chest_sl.c`/`sci.c`: 4 DMRS symbols at l = {2,5,8,11} (data on the
+# other 10 with l = 13 a processed-but-blanked guard), PSCCH DMRS with
+# a TX-chosen cyclic shift from {0,3,6,9} on base group u = 8, PSSCH
+# DMRS/scrambling keyed by N_x_ID = the decimal PSCCH CRC.  Decodes the
+# reference's committed TM4 hardware captures (qc9150 / huawei —
+# tests/test_ref_captures_sl.py).
+
+SL34_DMRS_SYMS = (2, 5, 8, 11)
+SL34_DATA_SYMS = (0, 1, 3, 4, 6, 7, 9, 10, 12, 13)  # 13: guard, not tx'd
+PSCCH34_NOF_PRB = 2
+SCI1_LEN = 32  # SRSRAN_SCI_TM34_LEN
+
+
+@dataclass
+class SciFormat1:
+    """SCI format 1 (36.212 §5.4.3.1.2), fixed 32-bit payload."""
+    priority: int = 0          # 3 bits
+    resource_reserv: int = 0   # 4 bits
+    riv: int = 0               # over num_sub_channel
+    time_gap: int = 0          # 4 bits
+    mcs: int = 0               # 5 bits
+    retransmission: int = 0    # 1 bit
+    transmission_format: int = 0  # 1 bit
+
+    @staticmethod
+    def riv_bits(num_sub_channel: int) -> int:
+        import math
+        return math.ceil(math.log2(num_sub_channel
+                                   * (num_sub_channel + 1) / 2))
+
+    def pack(self, num_sub_channel: int) -> np.ndarray:
+        w = BitWriter()
+        w.put(self.priority, 3)
+        w.put(self.resource_reserv, 4)
+        w.put(self.riv, self.riv_bits(num_sub_channel))
+        w.put(self.time_gap, 4)
+        w.put(self.mcs, 5)
+        w.put(self.retransmission, 1)
+        w.put(self.transmission_format, 1)
+        bits = np.zeros(SCI1_LEN, np.int8)
+        bits[:len(w.bits)] = w.bits
+        return bits
+
+    @classmethod
+    def unpack(cls, bits: np.ndarray, num_sub_channel: int) -> "SciFormat1":
+        r = BitReader(np.packbits(np.asarray(bits, np.uint8)).tobytes())
+        return cls(priority=r.get(3), resource_reserv=r.get(4),
+                   riv=r.get(cls.riv_bits(num_sub_channel)),
+                   time_gap=r.get(4), mcs=r.get(5),
+                   retransmission=r.get(1), transmission_format=r.get(1))
+
+
+def _sl34_interleave_perm(e: int, qm: int) -> np.ndarray:
+    """PUSCH-style time-first interleaver over the 10 TM3/4 data
+    symbols."""
+    c_mux = len(SL34_DATA_SYMS)
+    r = e // (c_mux * qm)
+    return np.arange(e).reshape(r, c_mux, qm).transpose(1, 0, 2).reshape(-1)
+
+
+def _pscch34_dmrs(cyclic_shift: int) -> np.ndarray:
+    """(24,) PSCCH TM3/4 DMRS: u = 8, α = 2π·n_cs/12, w = +1
+    (chest_sl_pscch_gen, chest_sl.c:273)."""
+    from srsran_4g_tpu.models.refsignal_ul import base_sequence
+    m_sc = PSCCH34_NOF_PRB * 12
+    alpha = 2.0 * np.pi * cyclic_shift / 12.0
+    r = base_sequence(8, 0, m_sc) * np.exp(1j * alpha * np.arange(m_sc))
+    return r.astype(np.complex64)
+
+
+def _sl34_group_hop(n_x_id: int) -> np.ndarray:
+    """f_gh(i) for i in 0..39 (36.211 §10.1.4.1.3, c_init = N_x/30)."""
+    c = sequence.gold_sequence_np(n_x_id // 30, 8 * 40).astype(np.int64)
+    return (c.reshape(40, 8) << np.arange(8)).sum(-1)
+
+
+def _pssch34_dmrs(n_x_id: int, sf_idx: int, nof_prb: int) -> np.ndarray:
+    """(4, 12·nof_prb) PSSCH TM3/4 DMRS: n_cs = (N_x/2)%8,
+    f_ss = (N_x/16)%30, f_gh indexed 4·(sf%10)+ns, w by N_x parity
+    (chest_sl_pssch_gen, chest_sl.c:460)."""
+    from srsran_4g_tpu.models.refsignal_ul import base_sequence
+    m_sc = nof_prb * 12
+    alpha = 2.0 * np.pi * ((n_x_id // 2) % 8) / 12.0
+    f_ss = (n_x_id // 16) % 30
+    f_gh = _sl34_group_hop(n_x_id)
+    rot = np.exp(1j * alpha * np.arange(m_sc))
+    w1 = -1.0 if n_x_id % 2 else 1.0
+    rows = []
+    for ns in range(4):
+        u = int((f_gh[4 * (sf_idx % 10) + ns] + f_ss) % 30)
+        r = base_sequence(u, 0, m_sc) * rot
+        rows.append((w1 ** ns) * r)
+    return np.stack(rows).astype(np.complex64)
+
+
+def _sl34_equalize(rx_grid: jnp.ndarray, dmrs: np.ndarray, prb_start: int,
+                   nof_prb: int, noise_var: float) -> jnp.ndarray:
+    """LS per DMRS symbol + linear time interpolation over the slot →
+    (B, 10, m_sc) equalized data symbols (the guard symbol zeroed).
+    `dmrs` is (4, m_sc) — one row per DMRS symbol {2,5,8,11}."""
+    m_sc = nof_prb * 12
+    ks = np.arange(prb_start * 12, prb_start * 12 + m_sc)
+    g = np.asarray(rx_grid)
+    h_p = np.stack([g[:, l][..., ks] * np.conj(dmrs[i])
+                    for i, l in enumerate(SL34_DMRS_SYMS)], axis=1)
+    t = np.asarray(SL34_DMRS_SYMS, np.float32)
+    eq = []
+    for l in SL34_DATA_SYMS[:-1]:
+        if l <= t[0]:
+            h = h_p[:, 0]
+        elif l >= t[-1]:
+            h = h_p[:, -1]
+        else:
+            j = int(np.searchsorted(t, l) - 1)
+            w = (l - t[j]) / (t[j + 1] - t[j])
+            h = (1 - w) * h_p[:, j] + w * h_p[:, j + 1]
+        y = g[:, l][..., ks]
+        eq.append(y * np.conj(h) / (np.abs(h) ** 2 + noise_var))
+    eq.append(np.zeros_like(eq[0]))
+    return jnp.asarray(np.stack(eq, axis=1))
+
+
+def pscch34_decode(rx_grid: jnp.ndarray, prb_start: int, cyclic_shift: int,
+                   noise_var: float = 1e-2) -> dict:
+    """TM3/4 PSCCH decode at one (subchannel, cyclic-shift) hypothesis →
+    dict(bits (B, 32), crc_ok (B,), n_x_id (B,))."""
+    from srsran_4g_tpu.models.pusch import transform_deprecode
+    m_sc = PSCCH34_NOF_PRB * 12
+    e = len(SL34_DATA_SYMS) * m_sc * 2
+    dm = np.tile(_pscch34_dmrs(cyclic_shift)[None], (4, 1))
+    eq = _sl34_equalize(rx_grid, dm, prb_start, PSCCH34_NOF_PRB, noise_var)
+    syms = transform_deprecode(eq).reshape(eq.shape[0], -1)
+    llr = modem.demodulate_soft("qpsk", syms, noise_var)
+    llr = llr.at[:, -2 * m_sc:].set(0.0)     # blanked guard symbol
+    scr = sequence.gold_sequence_np(PSCCH_SCRAMBLING_SEED, e)
+    llr = llr * jnp.asarray(1.0 - 2.0 * scr, jnp.float32)
+    deperm = np.empty(e, np.int64)
+    deperm[_sl34_interleave_perm(e, 2)] = np.arange(e)
+    llr = llr[..., jnp.asarray(deperm)]
+    d = rate_match.conv_rate_dematch(llr, SCI1_LEN + SCI_CRC_LEN)
+    bits = convcode.viterbi_decode(d)
+    ok = crc_ops.crc_check(bits, "16")
+    crc_bits = bits[..., -SCI_CRC_LEN:].astype(jnp.int32)
+    n_x_id = jnp.sum(crc_bits * (1 << jnp.arange(SCI_CRC_LEN - 1, -1, -1)),
+                     axis=-1)
+    return dict(bits=bits[..., :SCI1_LEN], crc_ok=ok, n_x_id=n_x_id)
+
+
+def pssch34_decode(rx_grid: jnp.ndarray, prb_start: int, nof_prb: int,
+                   n_x_id: int, mcs: int, rv: int, sf_idx: int,
+                   noise_var: float = 1e-2, n_iter: int = 8) -> dict:
+    """TM3/4 PSSCH decode → dict(bits (B, tbs), crc_ok (B,), tbs).
+
+    TB size from the UL MCS/TBS tables (pssch.c:237), scrambling
+    c_init = N_x_ID·2^14 + (sf%10)·2^9 + 510 (pssch.c:352), turbo
+    SL-SCH with the 10-symbol time-first interleaver."""
+    from srsran_4g_tpu.models import ra, sch
+    from srsran_4g_tpu.models.pusch import transform_deprecode
+    mod = ra.ul_mcs_to_mod(mcs)
+    qm = {"qpsk": 2, "16qam": 4, "64qam": 6}[mod]
+    tbs = ra.tbs_from_itbs(ra.ul_mcs_to_itbs(mcs), nof_prb)
+    m_sc = nof_prb * 12
+    g = len(SL34_DATA_SYMS) * m_sc * qm
+    dm = _pssch34_dmrs(n_x_id, sf_idx, nof_prb)
+    eq = _sl34_equalize(rx_grid, dm, prb_start, nof_prb, noise_var)
+    syms = transform_deprecode(eq).reshape(eq.shape[0], -1)
+    llr = modem.demodulate_soft(mod, syms, noise_var)
+    llr = llr.at[:, -qm * m_sc:].set(0.0)
+    cinit = (n_x_id << 14) + ((sf_idx % 10) << 9) + 510
+    scr = sequence.gold_sequence_np(cinit % (1 << 31), g)
+    llr = llr * jnp.asarray(1.0 - 2.0 * scr, jnp.float32)
+    deperm = np.empty(g, np.int64)
+    deperm[_sl34_interleave_perm(g, qm)] = np.arange(g)
+    llr = llr[..., jnp.asarray(deperm)]
+    plan = sch.dlsch_plan(tbs, g, qm, rv)
+    bits, ok, _ = sch.dlsch_decode(plan, llr, n_iter=n_iter)
+    return dict(bits=bits, crc_ok=ok, tbs=tbs, mod=mod)
+
+
+def pssch34_prbs(sub_channel_idx: int, riv: int, size_sub_channel: int,
+                 num_sub_channel: int, start_prb: int = 0) -> tuple[int, int]:
+    """PSSCH PRB range from the SCI-1 RIV (36.213 §14.1.1.4C; adjacent
+    PSCCH+PSSCH pools): returns (prb_start, nof_prb) with nof_prb
+    clipped to the largest DFT-precodable size."""
+    from srsran_4g_tpu.models import ra as _ra
+    l_subch, _ = _ra.riv_decode(num_sub_channel, riv)
+    prb_start = (sub_channel_idx * size_sub_channel + PSCCH34_NOF_PRB
+                 + start_prb)
+    nof = ((l_subch + sub_channel_idx) * size_sub_channel
+           - prb_start + start_prb)
+    while nof > 1 and not _valid_dft_prb(nof):
+        nof -= 1
+    return prb_start, nof
+
+
+def _valid_dft_prb(n: int) -> bool:
+    for p in (2, 3, 5):
+        while n % p == 0:
+            n //= p
+    return n == 1
+
+
+def sl_subframe_grid(samples: np.ndarray, nof_prb: int,
+                     symbol_sz: int) -> jnp.ndarray:
+    """One sidelink subframe → (1, 14, nof_prb·12) with the per-symbol
+    half-subcarrier de-rotation (as sl_demodulate, but with an explicit
+    FFT size for the reference's non-standard sample rates, e.g. 768 at
+    50 PRB / 11.52 Msps)."""
+    cp0 = symbol_sz * 160 // 2048
+    cp = symbol_sz * 144 // 2048
+    nre = nof_prb * 12
+    local = np.exp(-1j * np.pi * np.arange(symbol_sz) / symbol_sz)
+    rows = []
+    pos = 0
+    for l in range(14):
+        pos += cp0 if l in (0, 7) else cp
+        x = np.fft.fft(samples[pos:pos + symbol_sz] * local)
+        x = x / np.sqrt(symbol_sz)
+        rows.append(np.concatenate([x[-(nre // 2):], x[:nre // 2]]))
+        pos += symbol_sz
+    return jnp.asarray(np.stack(rows)[None].astype(np.complex64))
