@@ -65,6 +65,228 @@ def _const_col(vals, dtype=jnp.float32):
     return ((pattern >> iota) & 1).astype(dtype)
 
 
+@functools.lru_cache(maxsize=1)
+def _tables_r4():
+    """Radix-4 (two-trellis-steps-fused) tables.
+
+    alpha: for each target state s, its 4 two-step predecessors and the
+    (u1, p1, u2, p2) gamma coefficient bits of the unique 2-step path.
+    beta: for each source state s and input pair j=(u1,u2), the state two
+    steps ahead and the same coefficient bits.
+    """
+    t = _tables()
+    ns, par = t["ns"], t["par"]
+    a_pred = np.zeros((8, 4), np.int64)
+    a_c = np.zeros((8, 4, 4), np.int64)
+    fill = np.zeros(8, np.int64)
+    for p in range(8):
+        for u1 in (0, 1):
+            m = ns[p, u1]
+            for u2 in (0, 1):
+                s = ns[m, u2]
+                j = fill[s]
+                a_pred[s, j] = p
+                a_c[s, j] = (u1, par[p, u1], u2, par[m, u2])
+                fill[s] += 1
+    assert (fill == 4).all()
+    b_ns = np.zeros((8, 4), np.int64)
+    b_c = np.zeros((8, 4, 4), np.int64)
+    for s in range(8):
+        for u1 in (0, 1):
+            m = ns[s, u1]
+            for u2 in (0, 1):
+                j = u1 * 2 + u2
+                b_ns[s, j] = ns[m, u2]
+                b_c[s, j] = (u1, par[s, u1], u2, par[m, u2])
+    return dict(a_pred=a_pred, a_c=a_c, b_ns=b_ns, b_c=b_c)
+
+
+def _make_kernel_v4(t_train: int, l_win: int, tile_n: int,
+                    nof_b: int, nof_w: int):
+    """Radix-4 half-iteration kernel.
+
+    Two trellis steps per ACS: alpha_{k+2} = max over the 4 two-step
+    predecessors of alpha_k + G_j, where the combined branch metric
+    G_j = u1*gs_k + p1*gp_k + u2*gs_{k+1} + p2*gp_{k+1} is independent of
+    alpha — so the gamma arithmetic runs OFF the serial dependence chain
+    and the chain per trellis step is ~half the radix-2 kernel's
+    (restack → add → 2-level max tree → periodic norm, per TWO steps).
+
+    Other deltas vs v1 (all feeding the same numerics):
+    - one shared gamma pair (l+2t rows) serves both sweeps — the alpha
+      window [w*l-t, w*l+l) and beta window [w*l, w*l+l+t) overlap, so
+      rows are indexed from both loops instead of materialising 4 arrays;
+    - the training-freeze masks (window 0 for alpha / last window for
+      beta) are lane-constant, computed from a lane iota — the two
+      (T+L, N) mask arrays are gone entirely;
+    - only even-k alphas are stored (halves VMEM scratch); odd-k alphas
+      and the odd-k beta are recomputed during LLR emission with single
+      unnormalised radix-2 steps, off the carry chain.
+
+    Lane layout is (W, B) — window-major — so the host-side gather writes
+    its natural (rows, W, B) order with no big transpose.
+    """
+    tab = _tables()
+    r4 = _tables_r4()
+    ns0 = tuple(int(v) for v in tab["ns"][:, 0])
+    ns1 = tuple(int(v) for v in tab["ns"][:, 1])
+    p0v, p1v = tab["par"][:, 0], tab["par"][:, 1]
+    pred0 = tuple(int(v) for v in tab["pred"][:, 0])
+    pred1 = tuple(int(v) for v in tab["pred"][:, 1])
+    u0v, u1v = tab["pred_u"][:, 0], tab["pred_u"][:, 1]
+    q0v, q1v = tab["pred_p"][:, 0], tab["pred_p"][:, 1]
+    a_pred = [tuple(int(v) for v in r4["a_pred"][:, j]) for j in range(4)]
+    a_c = r4["a_c"]
+    b_ns = [tuple(int(v) for v in r4["b_ns"][:, j]) for j in range(4)]
+    b_c = r4["b_c"]
+    t2, l2 = t_train // 2, l_win // 2
+
+    def kernel(gs, gp, a0, b0, out, astore):
+        P0, P1 = _const_col(p0v), _const_col(p1v)
+        U0, U1 = _const_col(u0v), _const_col(u1v)
+        Q0, Q1 = _const_col(q0v), _const_col(q1v)
+        AC = [[_const_col(a_c[:, j, c]) for c in range(4)] for j in range(4)]
+        BC = [[_const_col(b_c[:, j, c]) for c in range(4)] for j in range(4)]
+
+        base = pl.program_id(0) * tile_n
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1) + base
+        # training-freeze masks: window 0 (alpha) / last window (beta)
+        m_a = (lane >= nof_b).astype(jnp.float32)
+        m_b = (lane < (nof_w - 1) * nof_b).astype(jnp.float32)
+
+        def rows(r):
+            return (gs[pl.ds(r, 1), :], gp[pl.ds(r, 1), :],
+                    gs[pl.ds(r + 1, 1), :], gp[pl.ds(r + 1, 1), :])
+
+        def alpha_r4(alpha, g0s, g0p, g1s, g1p, norm=True):
+            cs = [
+                _restack(alpha, a_pred[j])
+                + (AC[j][0] * g0s + AC[j][1] * g0p
+                   + AC[j][2] * g1s + AC[j][3] * g1p)
+                for j in range(4)
+            ]
+            new = jnp.maximum(jnp.maximum(cs[0], cs[1]),
+                              jnp.maximum(cs[2], cs[3]))
+            if norm:
+                new = new - jnp.max(new, axis=0, keepdims=True)
+            return new
+
+        def beta_r4(beta, g0s, g0p, g1s, g1p, norm=True):
+            cs = [
+                _restack(beta, b_ns[j])
+                + (BC[j][0] * g0s + BC[j][1] * g0p
+                   + BC[j][2] * g1s + BC[j][3] * g1p)
+                for j in range(4)
+            ]
+            new = jnp.maximum(jnp.maximum(cs[0], cs[1]),
+                              jnp.maximum(cs[2], cs[3]))
+            if norm:
+                new = new - jnp.max(new, axis=0, keepdims=True)
+            return new
+
+        def alpha_r2(alpha, gsv, gpv):
+            # unnormalised — only feeds LLR differences
+            c0 = _restack(alpha, pred0) + U0 * gsv + Q0 * gpv
+            c1 = _restack(alpha, pred1) + U1 * gsv + Q1 * gpv
+            return jnp.maximum(c0, c1)
+
+        def beta_r2(beta, gsv, gpv):
+            c0 = _restack(beta, ns0) + P0 * gpv
+            c1 = _restack(beta, ns1) + gsv + P1 * gpv
+            return jnp.maximum(c0, c1)
+
+        def emit(idx, a_k, b_k1, gsv, gpv):
+            t0 = a_k + _restack(b_k1, ns0) + P0 * gpv
+            t1 = a_k + _restack(b_k1, ns1) + P1 * gpv
+            out[pl.ds(idx, 1), :] = (jnp.max(t1, axis=0, keepdims=True)
+                                     + gsv
+                                     - jnp.max(t0, axis=0, keepdims=True))
+
+        # ---- alpha: masked training then body storing even-k metrics ----
+        def a_train(i, alpha):
+            new = alpha_r4(alpha, *rows(2 * i))
+            return m_a * new + (1.0 - m_a) * alpha
+
+        alpha = jax.lax.fori_loop(0, t2, a_train, a0[:, :])
+
+        def a_body(i, alpha):
+            astore[pl.ds(i, 1)] = alpha[None]
+            return alpha_r4(alpha, *rows(t_train + 2 * i))
+
+        jax.lax.fori_loop(0, l2, a_body, alpha)
+
+        # ---- beta: masked training ----
+        def b_train(i, beta):
+            new = beta_r4(beta, *rows(l_win + 2 * t_train - 2 - 2 * i))
+            return m_b * new + (1.0 - m_b) * beta
+
+        beta = jax.lax.fori_loop(0, t2, b_train, b0[:, :])
+
+        # ---- beta body with fused two-LLR emission -----------------------
+        def b_body(j, beta):
+            # carry: beta at k_rel = l - 2j; emit LLRs at e+1 and e,
+            # e = l - 2j - 2
+            e = l_win - 2 * j - 2
+            r = t_train + e
+            g0s, g0p, g1s, g1p = rows(r)
+            a_e = astore[pl.ds(l2 - 1 - j, 1)][0]
+            a_o = alpha_r2(a_e, g0s, g0p)
+            emit(e + 1, a_o, beta, g1s, g1p)
+            b1 = beta_r2(beta, g1s, g1p)
+            emit(e, a_e, b1, g0s, g0p)
+            return beta_r4(beta, g0s, g0p, g1s, g1p)
+
+        jax.lax.fori_loop(0, l2, b_body, beta)
+
+    return kernel
+
+
+def map_windowed_pallas_r4(
+    gs_ext: jnp.ndarray,  # (L+2T, N) shared gamma (systematic+apriori)
+    gp_ext: jnp.ndarray,  # (L+2T, N) shared parity gamma
+    a_init: jnp.ndarray,  # (8, N)
+    b_init: jnp.ndarray,  # (8, N)
+    t_train: int,
+    l_win: int,
+    nof_b: int,
+    nof_w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Radix-4 path: returns LLRs (L, N), lanes in (W, B) order."""
+    import os
+
+    steps, n = gs_ext.shape
+    assert steps == l_win + 2 * t_train
+    # tile 512 = 4 vregs per (8, tile) value: ~10-15 live values fit the
+    # physical vreg file; 1024 measurably spills (see module docstring)
+    tile_n = int(os.environ.get("TURBO_TILE", "512"))
+    if interpret:
+        tile_n = min(tile_n, 256)
+    if n % tile_n != 0:
+        pad = tile_n - n % tile_n
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
+        gs_ext, gp_ext = padf(gs_ext), padf(gp_ext)
+        a_init, b_init = padf(a_init), padf(b_init)
+    np_ = gs_ext.shape[1]
+    grid = (np_ // tile_n,)
+    spec_g = pl.BlockSpec((steps, tile_n), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    spec_i = pl.BlockSpec((8, tile_n), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    kernel = _make_kernel_v4(t_train, l_win, tile_n, nof_b, nof_w)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_g, spec_g, spec_i, spec_i],
+        out_specs=pl.BlockSpec((l_win, tile_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l_win, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((l_win // 2, 8, tile_n), jnp.float32)],
+        interpret=interpret,
+    )(gs_ext, gp_ext, a_init, b_init)
+    return out[:, :n]
+
+
 def _make_kernel_v3(t_train: int, l_win: int, tile_n: int):
     """Latency-hiding half-iteration kernel.
 

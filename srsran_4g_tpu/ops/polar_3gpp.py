@@ -52,7 +52,9 @@ _IL_PATTERN = np.asarray([
 
 def code_params(k: int, e: int, n_max: int = 9) -> int:
     """→ n (N = 2^n) per 38.212 §5.3.1 (DCI: nPC = 0, K ≥ 36)."""
-    assert k + 24 >= 36 or k >= 36 or True  # K here includes the CRC
+    # K here includes the 24-bit CRC; 38.212 §7.3.3 pads DCI payloads to
+    # >= 12 info bits, so K >= 36 always holds for a valid DCI
+    assert k >= 36, f"polar DCI K={k} below the 38.212 minimum (12+24)"
     n_e = max(5, (e - 1).bit_length())
     n1 = n_e - 1 if (8 * e <= 9 * (1 << (n_e - 1)) and 16 * k < 9 * e) \
         else n_e

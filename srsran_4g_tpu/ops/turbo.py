@@ -349,10 +349,51 @@ def _map_windowed(lsa, lp, tail_sys, tail_par, win_len, train_len):
     return llr.reshape(batch + (k,))
 
 
+def _map_windowed_pl_r4(lsa, lp, tail_sys, tail_par, win_len, train_len,
+                        interpret=False):
+    """Radix-4 Pallas path: one shared (L+2T)-row gamma pair in (W, B)
+    lane order (no big transposes on the prep side), masks in-kernel."""
+    from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas_r4
+
+    assert lsa.ndim == 2
+    b, k = lsa.shape
+    l, t = win_len, train_len
+    w = k // l
+    n = w * b
+
+    gs = jnp.swapaxes(lsa, 0, 1)  # (K, B)
+    gp = jnp.swapaxes(lp, 0, 1)
+    # row r of the shared gamma block holds trellis k = w*l - t + r
+    k_idx = np.arange(w)[None, :] * l - t + np.arange(l + 2 * t)[:, None]
+    gidx = jnp.asarray(np.clip(k_idx, 0, k - 1))  # (L+2T, W)
+    gs_ext = gs[gidx].reshape(l + 2 * t, n)  # (L+2T, W, B) row-major
+    gp_ext = gp[gidx].reshape(l + 2 * t, n)
+
+    a_init = jnp.zeros((8, n), jnp.float32)
+    a_init = a_init.at[1:, :b].set(_NEG)  # window 0: exact start in state 0
+    b_init = jnp.zeros((8, n), jnp.float32)
+    b_exact = _exact_boundary_beta(tail_sys, tail_par)  # (B, 8)
+    b_init = b_init.at[:, (w - 1) * b:].set(jnp.swapaxes(b_exact, 0, 1))
+
+    llr = map_windowed_pallas_r4(
+        gs_ext, gp_ext, a_init, b_init, t, l, b, w, interpret=interpret
+    )  # (L, N) with lane = w_idx * B + b_idx
+    llr = llr.reshape(l, w, b)
+    return jnp.transpose(llr, (2, 1, 0)).reshape(b, k)
+
+
 def _map_windowed_pl(lsa, lp, tail_sys, tail_par, win_len, train_len,
                      interpret=False):
     """Windowed max-log BCJR on the Pallas TPU kernel (same math as
     `_map_windowed`, sequential work moved into one Mosaic program)."""
+    import os
+
+    kern_ver = os.environ.get("TURBO_KERNEL", "v4")
+    if (kern_ver == "v4" and win_len % 2 == 0 and train_len % 2 == 0
+            and train_len >= 2):
+        return _map_windowed_pl_r4(lsa, lp, tail_sys, tail_par, win_len,
+                                   train_len, interpret=interpret)
+
     from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas
 
     assert lsa.ndim == 2
