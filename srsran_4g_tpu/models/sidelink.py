@@ -201,8 +201,28 @@ def _sl_interleave_perm(e: int, qm: int) -> np.ndarray:
 
 
 def _sl_dmrs(u: int, m_sc: int) -> np.ndarray:
+    """(2, m_sc) PSCCH TM1/2 DMRS: u fixed, no cyclic shift, w = [1, 1]
+    (chest_sl_pscch_gen, chest_sl.c:306-336)."""
     from srsran_4g_tpu.models.refsignal_ul import base_sequence
-    return base_sequence(u, 0, m_sc).astype(np.complex64)
+    r = base_sequence(u, 0, m_sc).astype(np.complex64)
+    return np.stack([r, r])
+
+
+def _pssch12_dmrs(n_x_id: int, nof_prb: int) -> np.ndarray:
+    """(2, 12·nof_prb) PSSCH TM1/2 DMRS (chest_sl_pssch_gen,
+    chest_sl.c:462-544): n_cs = (N_x/2)%8, group hopping
+    u[ns] = (f_gh[ns] + N_x%30) % 30 over the first two pattern slots,
+    w = [1, ±1] by N_x parity."""
+    from srsran_4g_tpu.models.refsignal_ul import base_sequence
+    m_sc = nof_prb * 12
+    alpha = 2.0 * np.pi * ((n_x_id // 2) % 8) / 12.0
+    rot = np.exp(1j * alpha * np.arange(m_sc))
+    f_ss = n_x_id % 30
+    f_gh = _sl34_group_hop(n_x_id)
+    w1 = -1.0 if n_x_id % 2 else 1.0
+    rows = [base_sequence(int((f_gh[ns] + f_ss) % 30), 0, m_sc) * rot
+            * (w1 ** ns) for ns in range(2)]
+    return np.stack(rows).astype(np.complex64)
 
 
 def _sl_map(tx_syms: jnp.ndarray, dmrs: np.ndarray, nre_total: int,
@@ -214,8 +234,8 @@ def _sl_map(tx_syms: jnp.ndarray, dmrs: np.ndarray, nre_total: int,
     ks = jnp.arange(prb_start * 12, prb_start * 12 + m_sc)
     for i, l in enumerate(SL_DATA_SYMS[:-1]):  # last data symbol blanked
         grid = grid.at[:, l, ks].set(tx_syms[:, i])
-    for l in SL_DMRS_SYMS:
-        grid = grid.at[:, l, ks].set(jnp.asarray(dmrs)[None])
+    for i, l in enumerate(SL_DMRS_SYMS):
+        grid = grid.at[:, l, ks].set(jnp.asarray(dmrs[i])[None])
     return grid
 
 
@@ -226,8 +246,8 @@ def _sl_equalize(rx_grid: jnp.ndarray, dmrs: np.ndarray, prb_start: int,
     m_sc = nof_prb * 12
     ks = jnp.arange(prb_start * 12, prb_start * 12 + m_sc)
     d = jnp.asarray(dmrs)
-    h = (rx_grid[:, SL_DMRS_SYMS[0]][..., ks] * jnp.conj(d)
-         + rx_grid[:, SL_DMRS_SYMS[1]][..., ks] * jnp.conj(d)) / 2
+    h = (rx_grid[:, SL_DMRS_SYMS[0]][..., ks] * jnp.conj(d[0])
+         + rx_grid[:, SL_DMRS_SYMS[1]][..., ks] * jnp.conj(d[1])) / 2
     eq = []
     for l in SL_DATA_SYMS[:-1]:
         y = rx_grid[:, l][..., ks]
@@ -348,7 +368,7 @@ def pssch_encode(cfg: PsschConfig, tb_bits: jnp.ndarray) -> jnp.ndarray:
     syms = transform_precode(
         syms.reshape(b, len(SL_DATA_SYMS), 12 * cfg.nof_prb))
     syms = syms.at[:, -1].set(0)
-    return _sl_map(syms, _sl_dmrs(cfg.n_x_id % 30, 12 * cfg.nof_prb),
+    return _sl_map(syms, _pssch12_dmrs(cfg.n_x_id, cfg.nof_prb),
                    cfg.nof_prb_cell * 12, cfg.prb_start, cfg.nof_prb)
 
 
@@ -357,7 +377,7 @@ def pssch_decode(cfg: PsschConfig, rx_grid: jnp.ndarray,
     """→ dict(bits (B, tbs), crc_ok (B,))."""
     from srsran_4g_tpu.models import sch
     from srsran_4g_tpu.models.pusch import transform_deprecode
-    eq = _sl_equalize(rx_grid, _sl_dmrs(cfg.n_x_id % 30, 12 * cfg.nof_prb),
+    eq = _sl_equalize(rx_grid, _pssch12_dmrs(cfg.n_x_id, cfg.nof_prb),
                       cfg.prb_start, cfg.nof_prb, noise_var)
     syms = transform_deprecode(eq).reshape(eq.shape[0], -1)
     llr = modem.demodulate_soft(cfg.mod, syms, noise_var)
