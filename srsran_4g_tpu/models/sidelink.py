@@ -403,10 +403,20 @@ PSBCH_DMRS_SYMS_TM12 = (3, 10)
 PSBCH_NOF_PRB = 6
 _PSBCH_NSYM = 8           # 8 coded symbols; the 8th is never transmitted
 
+# (data_syms, dmrs_syms, nof_coded_syms) per (tm group, ext_cp) — the
+# srsran_psbch_symbol_map_* tables of phy_common_sl.c:125-162.  The coded
+# stream always spans one more symbol than is transmitted (psbch.c:57).
+_PSBCH_LAYOUT = {
+    (12, False): (PSBCH_DATA_SYMS_TM12, PSBCH_DMRS_SYMS_TM12, 8),
+    (12, True): ((3, 4, 5, 6, 7), (2, 8), 6),
+    (34, False): ((0, 3, 5, 7, 8, 10), (4, 6, 9), 7),
+}
 
-def _psbch_dmrs(n_sl_id: int) -> np.ndarray:
-    """(2, 72) PSBCH DMRS (36.211 §9.8: u=(N/16)%30, alpha from
-    (N/2)%8, w = [1, ±1] by N parity)."""
+
+def _psbch_dmrs(n_sl_id: int, n_dmrs: int = 2) -> np.ndarray:
+    """(n_dmrs, 72) PSBCH DMRS (chest_sl.c:95-152: u=(N/16)%30, alpha
+    from (N/2)%8, w[j] = ±1^j by N parity — [1,w] for TM1/2, [1,w,1]
+    for TM3/4's three DMRS symbols)."""
     from srsran_4g_tpu.models.refsignal_ul import base_sequence
 
     m_sc = PSBCH_NOF_PRB * 12
@@ -414,75 +424,81 @@ def _psbch_dmrs(n_sl_id: int) -> np.ndarray:
     alpha = 2.0 * np.pi * ((n_sl_id // 2) % 8) / 12.0
     r = base_sequence(u, 0, m_sc) * np.exp(1j * alpha * np.arange(m_sc))
     w1 = -1.0 if n_sl_id % 2 else 1.0
-    return np.stack([r, w1 * r]).astype(np.complex64)
+    return np.stack([(w1 ** (j % 2)) * r
+                     for j in range(n_dmrs)]).astype(np.complex64)
 
 
-def _psbch_perm(e: int) -> np.ndarray:
-    """sl_ulsch_interleave over the 8 PSBCH symbols (Qm=2)."""
-    r = e // (_PSBCH_NSYM * 2)
-    return np.arange(e).reshape(r, _PSBCH_NSYM, 2).transpose(1, 0, 2).reshape(-1)
+def _psbch_perm(e: int, nsym: int = _PSBCH_NSYM) -> np.ndarray:
+    """sl_ulsch_interleave over the PSBCH coded symbols (Qm=2)."""
+    r = e // (nsym * 2)
+    return np.arange(e).reshape(r, nsym, 2).transpose(1, 0, 2).reshape(-1)
 
 
-def psbch_tx_subframe(n_sl_id: int, nof_prb: int,
-                      mib_bits: jnp.ndarray) -> jnp.ndarray:
-    """(B, 40) MIB-SL → (B, 14, nof_prb·12) TM1/2 PSBCH subframe grid."""
+def psbch_tx_subframe(n_sl_id: int, nof_prb: int, mib_bits: jnp.ndarray,
+                      tm: int = 2, ext_cp: bool = False) -> jnp.ndarray:
+    """(B, 40) MIB-SL → (B, nsym, nof_prb·12) PSBCH subframe grid
+    (nsym = 12 for TM1/2 extended CP, else 14)."""
+    data_syms, dmrs_syms, ncoded = _PSBCH_LAYOUT[
+        (12 if tm <= 2 else 34, ext_cp)]
     m_sc = PSBCH_NOF_PRB * 12
-    e = _PSBCH_NSYM * m_sc * 2
+    e = ncoded * m_sc * 2
     with_crc = jnp.concatenate(
         [mib_bits.astype(jnp.int8), crc_ops.crc_compute(mib_bits, "16")],
         axis=-1)
     cw = convcode.conv_encode(with_crc)
     bits = rate_match.conv_rate_match(cw, e)
-    bits = bits[..., jnp.asarray(_psbch_perm(e))]
+    bits = bits[..., jnp.asarray(_psbch_perm(e, ncoded))]
     scr = sequence.gold_sequence_np(n_sl_id, e).astype(np.int8)
     bits = jnp.bitwise_xor(bits.astype(jnp.int8), jnp.asarray(scr))
-    syms = modem.modulate("qpsk", bits).reshape(-1, _PSBCH_NSYM, m_sc)
+    syms = modem.modulate("qpsk", bits).reshape(-1, ncoded, m_sc)
     # transform precoding per symbol
     syms = jnp.fft.fft(syms, axis=-1) / np.sqrt(m_sc)
     b = syms.shape[0]
     nre = nof_prb * 12
     k0 = nre // 2 - 36
-    grid = jnp.zeros((b, 14, nre), jnp.complex64)
+    grid = jnp.zeros((b, 12 if ext_cp else 14, nre), jnp.complex64)
     ks = jnp.arange(k0, k0 + m_sc)
-    for i, l in enumerate(PSBCH_DATA_SYMS_TM12):
+    for i, l in enumerate(data_syms):
         grid = grid.at[:, l, ks].set(syms[:, i])
-    dm = _psbch_dmrs(n_sl_id)
-    for j, l in enumerate(PSBCH_DMRS_SYMS_TM12):
+    dm = _psbch_dmrs(n_sl_id, len(dmrs_syms))
+    for j, l in enumerate(dmrs_syms):
         grid = grid.at[:, l, ks].set(jnp.asarray(dm[j])[None])
     return grid
 
 
 def psbch_rx_subframe(n_sl_id: int, nof_prb: int, rx_grid: jnp.ndarray,
-                      noise_var: float = 1e-2) -> dict:
-    """TM1/2 PSBCH receive from a subframe grid (B, 14, nof_prb·12):
+                      noise_var: float = 1e-2, tm: int = 2,
+                      ext_cp: bool = False) -> dict:
+    """PSBCH receive from a subframe grid (B, nsym, nof_prb·12):
     DMRS LS chest/equalize → IDFT precoding → QPSK LLR → descramble →
     deinterleave → conv rate dematch → Viterbi → CRC16.
 
     Returns dict(mib (B, 40), crc_ok (B,))."""
+    data_syms, dmrs_syms, ncoded = _PSBCH_LAYOUT[
+        (12 if tm <= 2 else 34, ext_cp)]
     m_sc = PSBCH_NOF_PRB * 12
-    e = _PSBCH_NSYM * m_sc * 2
+    e = ncoded * m_sc * 2
     nre = nof_prb * 12
     k0 = nre // 2 - 36
     ks = jnp.arange(k0, k0 + m_sc)
-    dm = _psbch_dmrs(n_sl_id)
-    h = (rx_grid[:, PSBCH_DMRS_SYMS_TM12[0]][..., ks] * jnp.conj(jnp.asarray(dm[0]))
-         + rx_grid[:, PSBCH_DMRS_SYMS_TM12[1]][..., ks]
-         * jnp.conj(jnp.asarray(dm[1]))) / 2
+    dm = _psbch_dmrs(n_sl_id, len(dmrs_syms))
+    h = sum(rx_grid[:, l][..., ks] * jnp.conj(jnp.asarray(dm[j]))
+            for j, l in enumerate(dmrs_syms)) / len(dmrs_syms)
     eq = []
-    for l in PSBCH_DATA_SYMS_TM12:
+    for l in data_syms:
         y = rx_grid[:, l][..., ks]
         eq.append(y * jnp.conj(h) / (jnp.abs(h) ** 2 + noise_var))
-    x = jnp.stack(eq, axis=1)                       # (B, 7, 72)
+    x = jnp.stack(eq, axis=1)                       # (B, ncoded-1, 72)
     d = jnp.fft.ifft(x, axis=-1) * np.sqrt(m_sc)    # IDFT precoding
     llr = modem.demodulate_soft("qpsk", d.reshape(d.shape[0], -1),
                                 jnp.asarray(noise_var))
     llr = llr.reshape(d.shape[0], -1)
-    # pad the never-transmitted 8th symbol with zero LLRs
+    # pad the never-transmitted last coded symbol with zero LLRs
     llr = jnp.concatenate(
         [llr, jnp.zeros((llr.shape[0], 2 * m_sc), llr.dtype)], axis=-1)
     scr = sequence.gold_sequence_np(n_sl_id, e).astype(np.float32)
     llr = llr * jnp.asarray(1.0 - 2.0 * scr)
-    llr = llr[..., jnp.asarray(np.argsort(_psbch_perm(e)))]
+    llr = llr[..., jnp.asarray(np.argsort(_psbch_perm(e, ncoded)))]
     dstreams = rate_match.conv_rate_dematch(llr, MIB_SL_LEN + 16)
     bits = convcode.viterbi_decode(dstreams)
     ok = crc_ops.crc_check(bits, "16")
@@ -738,6 +754,101 @@ def sl_subframe_grid(samples: np.ndarray, nof_prb: int,
     pos = 0
     for l in range(14):
         pos += cp0 if l in (0, 7) else cp
+        x = np.fft.fft(samples[pos:pos + symbol_sz] * local)
+        x = x / np.sqrt(symbol_sz)
+        rows.append(np.concatenate([x[-(nre // 2):], x[:nre // 2]]))
+        pos += symbol_sz
+    return jnp.asarray(np.stack(rows)[None].astype(np.complex64))
+
+
+def slss_find(samples: np.ndarray, nof_prb: int, symbol_sz: int,
+              root: int = 26) -> dict:
+    """SLSS time synchronisation: matched-filter the time-domain PSSS
+    (symbols 1–2 of an SLSS subframe, 36.211 §9.7.1) against the raw
+    capture and return the implied subframe start.
+
+    The TPU counterpart of the reference's `sync_sl.c` PSSS correlation
+    stage that `ue_sl` runs before any PSBCH decode — captures from
+    real testers (e.g. the CMW500 SLSS file) are not aligned to sample
+    0, so timing must come from the sync signal itself.  The two PSSS
+    symbols are correlated as one batched matmul over all candidate
+    lags."""
+    cp0 = symbol_sz * 160 // 2048
+    cp = symbol_sz * 144 // 2048
+    # time-domain PSSS symbol: 62 centre REs around DC, half-subcarrier
+    # shifted like the rest of the sidelink baseband
+    z = psss_sequence(root)
+    X = np.zeros(symbol_sz, np.complex64)
+    X[-31:] = z[:31] * np.sqrt(symbol_sz)
+    X[1:32] = z[31:] * np.sqrt(symbol_sz)
+    ref = np.fft.ifft(X) * np.exp(1j * np.pi * np.arange(symbol_sz)
+                                  / symbol_sz)
+    ref = (ref / np.linalg.norm(ref)).astype(np.complex64)
+    n = len(samples) - symbol_sz
+    if n <= 0:
+        return dict(offset=0, metric=0.0)
+    # batched correlation at every lag via an FFT overlap of the
+    # conjugate-reversed filter (linear correlation)
+    m = int(2 ** np.ceil(np.log2(len(samples) + symbol_sz)))
+    S = np.fft.fft(samples, m)
+    R = np.fft.fft(np.conj(ref[::-1]), m)
+    corr = np.abs(np.fft.ifft(S * R))[symbol_sz - 1:symbol_sz - 1 + n]
+    # PSSS is transmitted twice (symbols 1 and 2): sum the pair spaced
+    # one symbol+CP apart for a sharper peak
+    stride = symbol_sz + cp
+    pair = corr[:-stride] + corr[stride:]
+    l1 = int(np.argmax(pair))           # body start of symbol 1
+    off = l1 - (cp0 + symbol_sz + cp)   # subframe start
+    return dict(offset=off, metric=float(pair[l1]),
+                corr=float(corr[l1]))
+
+
+def psbch_sync_decode(samples: np.ndarray, nof_prb: int, symbol_sz: int,
+                      n_sl_id: int, tm: int = 2,
+                      noise_var: float = 1e-2) -> dict:
+    """SLSS-synchronised PSBCH decode of a raw capture: PSSS matched
+    filter for coarse timing, then a CRC-gated fine-timing hypothesis
+    batch over the CP ambiguity range.
+
+    Real-tester captures carry sampling-frequency offset (the reference
+    notes "SFO offset of ~64 samples" on its CMW500 files and hands the
+    binary a manual `-o`, CMakeLists.txt:136); instead of a magic
+    constant, all fine-timing hypotheses are demodulated and PSBCH-
+    decoded as ONE batch and the CRC selects the winner — the batch
+    axis is the TPU-native form of `sync_sl.c`'s serial search."""
+    cp0 = symbol_sz * 160 // 2048
+    coarse = slss_find(samples, nof_prb, symbol_sz,
+                       26 if n_sl_id < 168 else 37)["offset"]
+    offs = [coarse + d for d in range(-8, cp0 + 24, 4)]
+    offs = [o for o in offs if o >= 0] or [0]
+    pad = np.concatenate([samples, np.zeros(2 * symbol_sz + cp0 + 32,
+                                            samples.dtype)])
+    grids = jnp.concatenate(
+        [sl_subframe_grid(pad[o:], nof_prb, symbol_sz) for o in offs])
+    out = psbch_rx_subframe(n_sl_id, nof_prb, grids, noise_var, tm=tm)
+    # reject the all-zero decode: a mistimed hypothesis yields zero LLRs
+    # whose trivial all-zero codeword passes CRC (same guard as the SCI
+    # unpack sanity check, sci.c:107-116)
+    ok = np.asarray(out["crc_ok"]) & np.asarray(out["mib"]).any(axis=-1)
+    if not ok.any():
+        return dict(crc_ok=False, mib=None, offset=coarse)
+    i = int(np.argmax(ok))
+    return dict(crc_ok=True, mib=np.asarray(out["mib"][i]),
+                offset=offs[i])
+
+
+def sl_subframe_grid_ext(samples: np.ndarray, nof_prb: int,
+                         symbol_sz: int) -> jnp.ndarray:
+    """Extended-CP sidelink subframe → (1, 12, nof_prb·12): 12 symbols
+    with CP = symbol_sz/4 (36.211 Table 9.1-1), same per-symbol
+    half-subcarrier de-rotation as `sl_subframe_grid`."""
+    cp = symbol_sz // 4
+    nre = nof_prb * 12
+    local = np.exp(-1j * np.pi * np.arange(symbol_sz) / symbol_sz)
+    rows = []
+    pos = 0
+    for l in range(12):
+        pos += cp
         x = np.fft.fft(samples[pos:pos + symbol_sz] * local)
         x = x / np.sqrt(symbol_sz)
         rows.append(np.concatenate([x[-(nre // 2):], x[:nre // 2]]))
