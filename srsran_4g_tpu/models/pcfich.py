@@ -71,16 +71,23 @@ def put_into_grid(cell, grid_tx, pcfich_syms):
 
 def decode(
     cell: G.CellConfig, rx_grid: jnp.ndarray, h: jnp.ndarray, noise_var,
-    subframe: int,
+    subframe: int, h1: jnp.ndarray | None = None,
 ) -> dict:
-    """Soft CFI detection. Returns dict(cfi (B,), corr (B, 3))."""
+    """Soft CFI detection. Returns dict(cfi (B,), corr (B, 3)).
+
+    With ``h1`` (port-1 estimates) the 16 REs are SFBC-combined pairwise
+    (2-port TX diversity, as `pcfich.c` via predecoding_diversity)."""
     from srsran_4g_tpu.models import equalizer
 
     idx = jnp.asarray(pcfich_re_indices(cell))
     b = rx_grid.shape[0]
     y = rx_grid.reshape(b, -1)[:, idx]
     h_re = h.reshape(b, -1)[:, idx]
-    x, eff_nv = equalizer.equalize_single(y, h_re, noise_var)
+    if h1 is not None:
+        x, eff_nv = equalizer.alamouti_decode_2x1(
+            y, h_re, h1.reshape(b, -1)[:, idx], noise_var)
+    else:
+        x, eff_nv = equalizer.equalize_single(y, h_re, noise_var)
     llr = modem.demodulate_soft("qpsk", x, eff_nv)
     llr = scrambling.descramble_llrs(llr, jnp.asarray(_seq(cell, subframe)))
     # correlate: codeword bits ±1 vs LLR sign

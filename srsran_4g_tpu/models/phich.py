@@ -62,15 +62,23 @@ def put_into_grid(cell, grid_tx, phich_syms, group: int, ng: float = 1.0):
 def decode(
     cell: G.CellConfig, rx_grid: jnp.ndarray, h: jnp.ndarray, noise_var,
     group: int, nseq: int, subframe: int, ng: float = 1.0,
+    h1: jnp.ndarray | None = None,
 ) -> dict:
-    """Despread one PHICH. Returns dict(ack (B,), metric (B,))."""
+    """Despread one PHICH. Returns dict(ack (B,), metric (B,)).
+
+    With ``h1`` (port-1 estimates) the group's 12 REs are SFBC-combined
+    pairwise (2-port TX diversity, phich.c via predecoding_diversity)."""
     from srsran_4g_tpu.models import equalizer
 
     idx = jnp.asarray(regs.phich_reg_indices(cell, ng)[group].reshape(-1))
     b = rx_grid.shape[0]
     y = rx_grid.reshape(b, -1)[:, idx]
     h_re = h.reshape(b, -1)[:, idx]
-    x, _ = equalizer.equalize_single(y, h_re, noise_var)
+    if h1 is not None:
+        x, _ = equalizer.alamouti_decode_2x1(
+            y, h_re, h1.reshape(b, -1)[:, idx], noise_var)
+    else:
+        x, _ = equalizer.equalize_single(y, h_re, noise_var)
     w = _W[nseq % 4] * (1.0 if nseq < 4 else 1j)
     c = _seq(cell, subframe).astype(np.float32)
     ref = jnp.asarray((np.tile(w, 3) * (1.0 - 2.0 * c)).astype(np.complex64))

@@ -42,6 +42,10 @@ class OfdmConfig:
     # the FFT and subcarriers map symmetrically with no DC null
     # (reference ofdm.c srsran_ofdm_set_freq_shift, factor -0.5).
     half_sc_shift: bool = False
+    # Explicit DFT size override for the reference's reduced sample
+    # rates (srsran_symbol_sz with use_standard_symbol_size=false, e.g.
+    # 768 at 50 PRB = 11.52 Msps) — None selects the TS 36.104 size.
+    custom_symbol_sz: int | None = None
 
     def __post_init__(self):
         if self.half_sc_shift:
@@ -53,6 +57,8 @@ class OfdmConfig:
 
     @property
     def symbol_sz(self) -> int:
+        if self.custom_symbol_sz is not None:
+            return self.custom_symbol_sz
         return C.symbol_sz(self.nof_prb)
 
     @property

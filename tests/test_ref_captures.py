@@ -165,3 +165,78 @@ class TestNpbchFiles:
         assert int(out["n_ports"][0]) == ports
         mib = nbiot.mib_nb_unpack(out["mib"][0])
         assert mib["sfn_msb"] == sfn
+
+
+# ------------------------------------------- PCFICH/PHICH 2-port capture
+
+class TestPcfichPhichFile:
+    """pcfich_file_test / phich_file_test -c 150 -n 50 -p 2 on
+    ``signal.10M.dat`` (phch/test/CMakeLists.txt:459-460) — the only
+    committed 50-PRB 2-TX-port capture.
+
+    Rate note (documented divergence from the reference *test*, not the
+    spec): the file is 7681 samples ≈ one slot at the STANDARD 15.36
+    Msps (PSS for N_ID_2 = 0 correlates at 0.98 with symbol size 1024
+    and at only 0.40 with the reduced 768 size the reference binary
+    defaults to without ``-d``) — so it is decoded here at 1024.  At
+    that rate the PCFICH despreads to the ideal 2-port-diversity
+    correlation signature (≈ (+0.60, −0.20, −0.20) over the three
+    36.212 Table 5.3.4-1 codewords) with CFI = 1.
+    """
+
+    @pytest.fixture(scope="class")
+    def grid_and_chest(self):
+        raw = np.fromfile(f"{REF}/signal.10M.dat", dtype=np.complex64)
+        cfg = ofdm.OfdmConfig(nof_prb=50)
+        x = np.concatenate(
+            [raw, np.zeros(cfg.sf_len - len(raw), np.complex64)])
+        grid = ofdm.demodulate(cfg, jnp.asarray(x)[None])
+        cell = G.CellConfig(nof_prb=50, cell_id=150, cfi=2, nof_ports=2)
+        ch0 = chest.estimate(chest.ChestConfig(cell=cell), grid,
+                             subframe=0, port=0)
+        ch1 = chest.estimate(chest.ChestConfig(cell=cell), grid,
+                             subframe=0, port=1)
+        return cell, grid, ch0, ch1
+
+    def test_sample_rate_is_standard(self):
+        from srsran_4g_tpu.models import sync
+
+        raw = np.fromfile(f"{REF}/signal.10M.dat", dtype=np.complex64)
+        out = sync.find_pss(jnp.asarray(raw)[None], 1024)
+        assert int(out["n_id_2"][0]) == 0          # cell 150 → N_ID_2 = 0
+        assert float(out["peak"][0]) > 0.9
+        out_red = sync.find_pss(jnp.asarray(raw)[None], 768)
+        assert float(out_red["peak"][0]) < 0.5
+
+    def test_pcfich_decodes_cleanly(self, grid_and_chest):
+        cell, grid, ch0, ch1 = grid_and_chest
+        out = pcfich.decode(cell, grid, ch0["h"], ch0["noise_var"], 0,
+                            h1=ch1["h"])
+        corr = np.asarray(out["corr"][0])
+        n = corr / np.abs(corr).sum()
+        # dominant codeword with the ideal (+0.60, −0.20, −0.20) shape
+        assert n.max() > 0.5, n
+        assert (n < 0).sum() == 2, n
+        assert int(out["cfi"][0]) == 1
+
+    def test_phich_groups_despread(self, grid_and_chest):
+        from srsran_4g_tpu.models import phich
+
+        cell, grid, ch0, ch1 = grid_and_chest
+        # ng=1 at 50 PRB → ceil(50/8) = 7 groups × 8 sequences, as the
+        # reference's full group/sequence sweep (phich_file_test.c:258)
+        metrics = []
+        for grp in range(7):
+            for nseq in range(8):
+                r = phich.decode(cell, grid, ch0["h"], ch0["noise_var"],
+                                 grp, nseq, 0, ng=1.0, h1=ch1["h"])
+                m = float(r["metric"][0])
+                assert np.isfinite(m)
+                metrics.append(m)
+        # the reference's pass criterion is that the full sweep decodes
+        # without error (phich_file_test.c:277-285 only checks n > 0);
+        # this subframe carries no PHICH energy (all 56 metrics sit at
+        # the despread noise floor), so additionally assert no false
+        # strong ACK is detected
+        metrics = np.abs(np.asarray(metrics))
+        assert metrics.max() < 8.0, metrics.max()
