@@ -55,6 +55,10 @@ class Coreset0:
     duration: int         # symbols
     offset_rb: int        # first CORESET RB relative to pointA
     shift_index: int      # = PCI for CORESET#0
+    # CCE-to-REG mapping: CORESET#0 is always interleaved (38.211
+    # §7.3.2.2); RRC-configured CORESETs may be non-interleaved
+    # (pdcch_nr_cce_to_reg_mapping_non_interleaved, pdcch_nr.c:316)
+    interleaved: bool = True
 
 
 def coreset_zero(pci: int, ssb_pointa_offset_hz: float, idx: int,
@@ -76,16 +80,20 @@ def coreset_zero(pci: int, ssb_pointa_offset_hz: float, idx: int,
 def interleaved_candidate_rbs(cs: Coreset0, ncce: int,
                               l_agg: int) -> list[int]:
     """CORESET-relative RBs of a PDCCH candidate under the 38.211
-    §7.3.2.2 interleaved mapping (CORESET#0: bundle L=6, R=2,
-    n_shift = PCI), ascending."""
+    §7.3.2.2 mapping (interleaved: bundle L=6, R=2, n_shift = PCI, as
+    CORESET#0; non-interleaved: f(x) = x), ascending.  The candidate
+    occupies these RBs on every CORESET symbol."""
     n_reg = cs.duration * cs.nof_prb
     big_l, big_r = 6, 2
     big_c = n_reg // (big_l * big_r)
     rbs: set[int] = set()
     for j in range(ncce, ncce + l_agg):
         x = (6 * j) // big_l
-        r, c = x % big_r, x // big_r
-        i = (r * big_c + c + cs.shift_index) % (n_reg // big_l)
+        if cs.interleaved:
+            r, c = x % big_r, x // big_r
+            i = (r * big_c + c + cs.shift_index) % (n_reg // big_l)
+        else:
+            i = x
         rb0 = (i * big_l) // cs.duration
         rb1 = ((i + 1) * big_l) // cs.duration
         rbs.update(range(rb0, rb1))
@@ -135,28 +143,33 @@ def blind_decode_type0(grid: jnp.ndarray, pci: int, slot: int,
                        noise_var: float = 0.05,
                        candidates: list[tuple[int, int]] | None = None,
                        ) -> dict | None:
-    """Blind-search the Type0 CSS over one slot grid (B=1, 14, nre).
+    """Blind-search a common search space over one slot grid
+    (B=1, 14, nre).
 
     The carrier grid's RB 0 is pointA.  Returns None or
-    dict(l_agg, ncce, bits (A,)).  Single-symbol CORESETs only (the
-    Table 13-1 48-PRB entries used by the committed captures)."""
-    assert cs.duration == 1, "multi-symbol CORESET0 not implemented"
-    row = np.asarray(grid[0, 0])
-    dm = _pdcch_dmrs(pci, slot, 0, cs.nof_prb)
+    dict(l_agg, ncce, bits (A,)).  REs are read symbol-major over the
+    candidate's RBs with 9 data REs per RB (k mod 4 ≠ 1), matching the
+    reference's pdcch_nr_cp extraction order (pdcch_nr.c:424-456);
+    DMRS and its per-RB LS channel estimate are per CORESET symbol."""
+    rows = np.asarray(grid[0])
+    dms = [_pdcch_dmrs(pci, slot, l, cs.nof_prb)
+           for l in range(cs.duration)]
     n_cce = cs.nof_prb * cs.duration // 6
     if candidates is None:
         candidates = type0_candidates(n_cce)
     for l_agg, ncce in candidates:
         rbs = interleaved_candidate_rbs(cs, ncce, l_agg)
         parts = []
-        for p in rbs:
-            crb = cs.offset_rb + p
-            ks_d = [crb * NRE + o for o in range(12) if o not in (1, 5, 9)]
-            ks_m = [crb * NRE + o for o in (1, 5, 9)]
-            h = (row[ks_m] * np.conj(dm[3 * p:3 * p + 3])).mean()
-            x = row[ks_d] * np.conj(h) / (abs(h) ** 2 + 1e-3)
-            parts.append(np.asarray(modem.demodulate_soft(
-                "qpsk", jnp.asarray(x[None]), noise_var))[0])
+        for l in range(cs.duration):
+            for p in rbs:
+                crb = cs.offset_rb + p
+                ks_d = [crb * NRE + o for o in range(12)
+                        if o not in (1, 5, 9)]
+                ks_m = [crb * NRE + o for o in (1, 5, 9)]
+                h = (rows[l, ks_m] * np.conj(dms[l][3 * p:3 * p + 3])).mean()
+                x = rows[l, ks_d] * np.conj(h) / (abs(h) ** 2 + 1e-3)
+                parts.append(np.asarray(modem.demodulate_soft(
+                    "qpsk", jnp.asarray(x[None]), noise_var))[0])
         llr = np.concatenate(parts)
         scr = polar_3gpp.pdcch_scramble_seq(llr.size, pci)
         llr = llr * (1.0 - 2.0 * scr.astype(np.float32))

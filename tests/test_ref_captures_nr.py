@@ -175,3 +175,102 @@ def test_interleaved_mapping_properties():
     c0 = set(C0.interleaved_candidate_rbs(cs, 0, 4))
     c1 = set(C0.interleaved_candidate_rbs(cs, 4, 4))
     assert not (c0 & c1)
+
+
+# ------------------------- older-vintage captures (disabled upstream)
+
+UE_TEST = "/root/reference/lib/src/phy/ue/test"
+
+
+@pytest.mark.skipif(not os.path.exists(UE_TEST),
+                    reason="reference captures not available")
+class TestOldVintageNrCaptures:
+    """The 12 remaining NR captures: 10× ``ue_dl_nr_pci1_rb25_n*``,
+    ``...si_coreset0_idx7`` and ``...n4_ra_L2``.  Their ctest entries are
+    commented out in the reference itself (ue/test/CMakeLists.txt:62-71).
+
+    The PDCCH DCIs all decode with the current 38.212/38.211 chain
+    (non-interleaved duration-2 CORESET blind search, reduced sample
+    rates).  The PDSCH payloads do NOT decode with current conventions —
+    and provably not because of a framework gap: the reference's OWN
+    current DL-SCH decoder (srsran_dlsch_nr_decode compiled standalone
+    from this tree via tools/ref_nr_sch.py) also fails CRC on the same
+    RE-exact LLR extraction (pci1 n0: crc=KO at the DCI's rv; idx7:
+    converges only to the degenerate all-zero codeword, which
+    ue_dl_nr_file_test.cc:256 rejects).  The captures predate an
+    upstream SCH convention change; the PDSCH tier is therefore a
+    documented justified exclusion, kept honest by
+    tests/test_nr_sch_parity.py proving our chain is bit-exact with the
+    reference's current encoder/decoder.
+    """
+
+    # srsran dci_location.L is log2(aggregation): filename "L1" = 2 CCEs
+    # on a duration-2 CORESET clamped to carrier 25 PRB -> 24 PRB
+    # (dmrs_pdcch.c:72 nof_freq_res = min(carrier/6, 45)).
+    @pytest.mark.parametrize("n", range(10))
+    def test_pci1_rb25_dci_decodes(self, n):
+        from srsran_4g_tpu.models import coreset0 as C0
+        from srsran_4g_tpu.models import dci_nr
+
+        raw = np.fromfile(
+            f"{UE_TEST}/ue_dl_nr_pci1_rb25_n{n}_common_L1_ncce0.dat",
+            np.complex64)
+        assert raw.size == 5760          # one slot at the reduced 5.76 Msps
+        grid = C0.nr_slot_grid(raw, 25, 384, slot=n)
+        cs = C0.Coreset0(nof_prb=24, duration=2, offset_rb=0,
+                         shift_index=1, interleaved=False)
+        # DCI sized by the 25-PRB initial BWP (the old generator's
+        # convention; current code would size by coreset0_bw=48)
+        hit = C0.blind_decode_type0(grid, 1, n, cs, 0x1234, 37,
+                                    candidates=[(2, 0)])
+        assert hit is not None, f"C-RNTI DCI not found in slot {n}"
+        b = hit["bits"]
+        assert b[0] == 1                 # format identifier: DL
+        riv = int("".join(map(str, b[1:10])), 2)
+        rb_start, l_rbs = dci_nr.riv_decode(25, riv)
+        mcs = int("".join(map(str, b[15:20])), 2)
+        # every slot carries the same 10-PRB QPSK MCS-2 grant at RB 0
+        assert (rb_start, l_rbs, mcs) == (0, 10, 2)
+        assert int("".join(map(str, b[10:14])), 2) == 0   # time row 0
+
+    def test_idx7_si_dci_decodes(self):
+        from srsran_4g_tpu.models import coreset0 as C0
+
+        fc = 161200 * 5e3                # ARFCNs from CMakeLists.txt:71
+        raw = np.fromfile(
+            f"{UE_TEST}/ue_dl_nr_pci500_rb52_si_coreset0_idx7_s15.36e6.dat",
+            np.complex64)
+        point_a = fc - 52 * 6 * 15e3
+        cs = C0.coreset_zero(500, 161290 * 5e3 - point_a, idx=7)
+        assert (cs.nof_prb, cs.duration, cs.offset_rb) == (48, 1, 2)
+        grid = C0.nr_slot_grid(raw, 52, 1024, fc_hz=fc, slot=0)
+        hit = C0.blind_decode_type0(grid, 500, 0, cs, 0xFFFF, 39)
+        assert hit is not None and hit["l_agg"] == 4 and hit["ncce"] == 0
+        b = hit["bits"]
+        riv = int("".join(map(str, b[0:11])), 2)
+        mcs = int("".join(map(str, b[16:21])), 2)
+        rv = int("".join(map(str, b[21:23])), 2)
+        # same SIB1 grant as the idx6 capture, but at redundancy v. 1
+        assert (riv, mcs, rv) == (288, 6, 1)
+
+    def test_ra_l2_dci_decodes(self):
+        from srsran_4g_tpu.models import coreset0 as C0
+        from srsran_4g_tpu.models import dci_nr
+
+        raw = np.fromfile(
+            f"{UE_TEST}/ue_dl_nr_pci500_rb52_n4_ra_L2_ncce0.dat",
+            np.complex64)
+        assert raw.size == 11520         # one slot at the reduced 11.52 Msps
+        grid = C0.nr_slot_grid(raw, 52, 768, slot=4)
+        # 48-PRB duration-2 non-interleaved CORESET; "L2" = 4 CCEs
+        cs = C0.Coreset0(nof_prb=48, duration=2, offset_rb=0,
+                         shift_index=500, interleaved=False)
+        hit = C0.blind_decode_type0(grid, 500, 4, cs, 0x7F, 39,
+                                    candidates=[(4, 0)])
+        assert hit is not None
+        b = hit["bits"]
+        # RA-RNTI layout: RIV(11@48) time(4) vrb(1) mcs(5) tb_scaling(2)
+        riv = int("".join(map(str, b[0:11])), 2)
+        rb_start, l_rbs = dci_nr.riv_decode(48, riv)
+        mcs = int("".join(map(str, b[16:21])), 2)
+        assert (rb_start, l_rbs, mcs) == (0, 16, 2)
