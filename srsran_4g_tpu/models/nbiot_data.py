@@ -140,17 +140,48 @@ def npdsch_re_indices(n_id_ncell: int, ctrl_syms: int = 0) -> np.ndarray:
     return np.flatnonzero(free.reshape(-1))
 
 
+@functools.lru_cache(maxsize=16)
+def _nrs_interp_w(n_id_ncell: int) -> tuple[np.ndarray, np.ndarray]:
+    """(pilot subcarriers (4,), interpolation weights (12, 4)) mapping
+    the 4 distinct NRS subcarriers to all 12 by linear
+    interpolation/extrapolation (chest_dl_nbiot.c interpolate)."""
+    _, ks = nrs_pattern(n_id_ncell)
+    uk = np.unique(ks.reshape(-1))
+    w = np.zeros((12, len(uk)), np.float32)
+    for k in range(12):
+        j = int(np.searchsorted(uk, k))
+        a, b = (0, 1) if j == 0 else (
+            (len(uk) - 2, len(uk) - 1) if j >= len(uk) else (j - 1, j))
+        t = (k - uk[a]) / (uk[b] - uk[a])
+        w[k, a], w[k, b] = 1 - t, t
+    return uk, w
+
+
 def nrs_estimate(rx_grid: jnp.ndarray, n_id_ncell: int,
                  subframe: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """LS estimate at the 8 NRS REs, averaged to one flat coefficient per
-    subframe: ((...,) h, (...,) noise_var)."""
+    """LS estimate at the 8 NRS REs → per-subcarrier channel
+    ((..., 12) h, (...,) noise_var).
+
+    The two estimates per pilot subcarrier (one per slot) are averaged,
+    then linearly interpolated/extrapolated over the PRB — this tracks
+    the frequency-selective/timing-offset channels of the real-device
+    NPDCCH captures where a single flat coefficient cannot (reference:
+    chest_dl_nbiot.c estimate + interpolate).  noise_var is the
+    within-subcarrier residual."""
     ls, ks = nrs_pattern(n_id_ncell)
     vals = jnp.asarray(nrs_values(n_id_ncell, subframe))
     y = rx_grid[..., jnp.asarray(ls)[:, None], jnp.asarray(ks)]
-    h_ls = y * jnp.conj(vals)
-    h = jnp.mean(h_ls, axis=(-1, -2))
-    nv = jnp.mean(jnp.abs(h_ls - h[..., None, None]) ** 2, axis=(-1, -2))
-    return h.astype(jnp.complex64), nv.astype(jnp.float32)
+    h_ls = (y * jnp.conj(vals)).reshape(*y.shape[:-2], 8)
+    uk, w = _nrs_interp_w(n_id_ncell)
+    flat_k = ks.reshape(-1)
+    sel = np.stack([flat_k == k for k in uk]).astype(np.float32)  # (4, 8)
+    cnt = sel.sum(-1)
+    hk = h_ls @ jnp.asarray(sel.T / cnt)                          # (..., 4)
+    # residual of the per-RE LS vs its subcarrier mean
+    h_back = hk @ jnp.asarray(sel)
+    nv = jnp.mean(jnp.abs(h_ls - h_back) ** 2, axis=-1)
+    h12 = hk @ jnp.asarray(w.T)                                   # (..., 12)
+    return h12.astype(jnp.complex64), nv.astype(jnp.float32)
 
 
 # --- DCI N0 / N1 / N2 codecs (TS 36.212 §6.4.3, dci_nbiot.c) ------------------
@@ -284,8 +315,12 @@ def npdcch_encode(dci_bits: jnp.ndarray, rnti: int, n_id_ncell: int,
         [dci_bits.astype(jnp.int8), jnp.bitwise_xor(crc, mask)], axis=-1)
     d = convcode.conv_encode(cw)
     if l_agg == 2:
-        res = np.concatenate([ncce_re_indices(n_id_ncell, 0, ctrl_syms),
-                              ncce_re_indices(n_id_ncell, 1, ctrl_syms)])
+        # format 1 maps over both NCCEs in natural RE order (the two
+        # halves interleave per symbol, npdcch.c srsran_npdcch_put) —
+        # NOT lower-NCCE-then-upper concatenation
+        res = np.sort(np.concatenate(
+            [ncce_re_indices(n_id_ncell, 0, ctrl_syms),
+             ncce_re_indices(n_id_ncell, 1, ctrl_syms)]))
     else:
         res = ncce_re_indices(n_id_ncell, ncce, ctrl_syms)
     e_bits = 2 * res.shape[0]
@@ -312,16 +347,18 @@ def npdcch_blind_decode(rx_grid: jnp.ndarray, rnti: int, n_id_ncell: int,
     cands = []
     for ncce, l_agg in ((0, 1), (1, 1), (0, 2)):
         if l_agg == 2:
-            res = np.concatenate([ncce_re_indices(n_id_ncell, 0, ctrl_syms),
-                                  ncce_re_indices(n_id_ncell, 1, ctrl_syms)])
+            # natural RE order over both NCCEs (see npdcch_encode)
+            res = np.sort(np.concatenate(
+                [ncce_re_indices(n_id_ncell, 0, ctrl_syms),
+                 ncce_re_indices(n_id_ncell, 1, ctrl_syms)]))
         else:
             res = ncce_re_indices(n_id_ncell, ncce, ctrl_syms)
         y = flat[:, jnp.asarray(res)]
-        x = y * jnp.conj(h[..., None]) / (
-            jnp.abs(h[..., None]) ** 2 + nv[..., None])
+        h_re = h[..., jnp.asarray(res % 12)]
+        x = y * jnp.conj(h_re) / (jnp.abs(h_re) ** 2 + nv[..., None])
         llr = modem.demodulate_soft(
             "qpsk", x, nv[..., None] / jnp.maximum(
-                jnp.abs(h[..., None]) ** 2, 1e-9)).reshape(flat.shape[0], -1)
+                jnp.abs(h_re) ** 2, 1e-9)).reshape(flat.shape[0], -1)
         scr = _npdcch_scramble(n_id_ncell, 2 * subframe, llr.shape[-1])
         llr = llr * (1.0 - 2.0 * jnp.asarray(scr, jnp.float32))
         dd = rate_match.conv_rate_dematch(llr, dci_len + 16)
@@ -415,11 +452,11 @@ def npdsch_decode(cfg: NpdschConfig, rx_grids: jnp.ndarray) -> dict:
         g = rx_grids[:, i]
         h, nv = nrs_estimate(g, cfg.n_id_ncell, sf)
         y = g.reshape(g.shape[0], -1)[:, jnp.asarray(res)]
-        x = y * jnp.conj(h[..., None]) / (
-            jnp.abs(h[..., None]) ** 2 + nv[..., None])
+        h_re = h[..., jnp.asarray(res % 12)]
+        x = y * jnp.conj(h_re) / (jnp.abs(h_re) ** 2 + nv[..., None])
         llr = modem.demodulate_soft(
             "qpsk", x, nv[..., None] / jnp.maximum(
-                jnp.abs(h[..., None]) ** 2, 1e-9)).reshape(g.shape[0], -1)
+                jnp.abs(h_re) ** 2, 1e-9)).reshape(g.shape[0], -1)
         scr = _npdsch_scramble(cfg, nf, sf, e_sf)
         llr_parts.append(llr * (1.0 - 2.0 * jnp.asarray(scr, jnp.float32)))
     llr = jnp.concatenate(llr_parts, axis=-1)

@@ -240,3 +240,58 @@ class TestPcfichPhichFile:
         # strong ACK is detected
         metrics = np.abs(np.asarray(metrics))
         assert metrics.max() < 8.0, metrics.max()
+
+
+# ------------------------------------------------- NPDCCH captures
+
+class TestNpdcchFiles:
+    """npdcch_file_test + npdsch_npdcch_file_test on the two committed
+    NB-IoT DCI captures (phch/test/CMakeLists.txt:475-479).
+
+    The reference's pass criterion for all four ctests is: the DCI of
+    the requested format decodes with CRC == RNTI and unpacks to a
+    valid grant (the single-subframe files end before the scheduled
+    NPDSCH/NPUSCH, so npdsch_npdcch_file_test.c:320-328 passes on
+    `last_dci_format == requested`).  The N1 capture is noisy and
+    frequency-selective — it exercises the per-subcarrier NRS
+    interpolation and the format-1 natural RE order (both verified
+    bit-exact against a standalone build of the reference's own
+    npdcch.c + chest_dl_nbiot.c via tools/ref_npdcch.py)."""
+
+    def _decode(self, fn, tti, rnti):
+        from srsran_4g_tpu.models import nbiot_data as ND
+
+        x = np.fromfile(f"{REF}/{fn}", dtype=np.complex64)
+        cfg = ofdm.OfdmConfig(nof_prb=1, half_sc_shift=True)
+        assert x.size == cfg.sf_len          # exactly one subframe
+        g = ofdm.demodulate(cfg, jnp.asarray(x)[None])
+        out = ND.npdcch_blind_decode(g, rnti, 0, tti % 10)
+        ok = np.asarray(out["crc_ok"][0])
+        return out, ok
+
+    def test_format_n0_ul_grant(self):
+        """-c 0 -t 8624 -r 258 -L 1 -l 0 -o FormatN0: UL DCI on NCCE 0."""
+        from srsran_4g_tpu.models import nbiot_data as ND
+
+        out, ok = self._decode(
+            "signal_nbiot_dci_formatN0_L_1_nid0_tti_8624_rnti_0x102.bin",
+            8624, 0x102)
+        assert ok[0]                          # format-0 candidate, ncce 0
+        dci = ND.unpack_dci_n0(np.asarray(out["bits"][0, 0]))
+        # srsran_nbiot_dci_msg_to_ul_grant must yield a valid NPUSCH
+        # allocation: single-tone/multi-tone sc_indication in range
+        assert dci.sc_indication <= 18 and dci.mcs <= 12
+        assert (dci.i_ru, dci.mcs, dci.ndi) == (7, 4, 1)
+
+    def test_format_n1_dl_grant(self):
+        """-c 0 -t 5461 -r 137 -L 2 -l 0 -o FormatN1: aggregated DCI."""
+        from srsran_4g_tpu.models import nbiot_data as ND
+
+        out, ok = self._decode(
+            "signal_nbiot_dci_formatN1_nid0_tti_5461_rnti_0x89.bin",
+            5461, 0x89)
+        assert ok[2]                          # format-1 (both NCCEs)
+        dci = ND.unpack_dci_n1(np.asarray(out["bits"][0, 2]))
+        # ... and to a valid DL grant (npdsch_npdcch_dci_formatN1_test)
+        assert (dci.i_sf, dci.mcs, dci.i_rep) == (1, 3, 0)
+        assert dci.nof_sf == 2 and dci.tbs > 0
