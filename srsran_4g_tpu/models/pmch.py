@@ -44,11 +44,13 @@ class PmchConfig:
 
     @functools.cached_property
     def rs_indices(self) -> np.ndarray:
-        """Flat (sym*nre + k) indices of MBSFN-RS REs."""
+        """Flat (sym*nre + k) indices of MBSFN-RS REs (36.211 §6.10.2.2:
+        symbols {2, 6, 10}, subcarrier offsets {0, 1, 0}, density 2;
+        srsran_refsignal_mbsfn_fidx, refsignal_dl.c:355)."""
         out = []
-        for i, l in enumerate(MBSFN_RS_SYMS):
-            k0 = (self.area_id + i) % 2
-            out.extend(l * self.nre + k for k in range(k0, self.nre, 2))
+        for l, fidx in zip(MBSFN_RS_SYMS, (0, 1, 0)):
+            out.extend(l * self.nre + k
+                       for k in range(fidx, self.nre, 2))
         return np.asarray(sorted(out), np.int32)
 
     @functools.cached_property
@@ -78,22 +80,32 @@ class PmchConfig:
 
     @functools.cached_property
     def scramble_seq(self) -> np.ndarray:
-        # 36.211 6.5.1: c_init from the MBSFN area id (not an RNTI)
-        cinit = (self.area_id * (1 << 9) + self.subframe * (1 << 4)
-                 + 0x1FF) % (1 << 31)
+        # 36.211 §6.5.1: c_init = floor(ns/2)·2^9 + N_MBSFN_ID
+        # (srsran_sequence_pmch, sequences.c:174-178)
+        cinit = ((self.subframe << 9) + self.area_id) % (1 << 31)
         return sequence.gold_sequence_np(cinit, self.g_bits)
 
 
 @functools.lru_cache(maxsize=64)
 def mbsfn_rs(area_id: int, subframe: int, nre: int) -> np.ndarray:
-    """MBSFN reference symbols for the 3 RS-bearing symbols."""
+    """MBSFN reference symbols for the 3 RS-bearing symbols {2, 6, 10}
+    (36.211 §6.10.2.1; srsran_refsignal_mbsfn_gen_seq,
+    refsignal_dl.c): c_init = 512·(7·(ns'+1)+l'+1)·(2·N_id+1) + N_id
+    with l' = l mod 6 and ns' = 2·sf for symbol 2, 2·sf+1 for symbols
+    6/10; 6 pilots per PRB drawn from the centre of a virtual
+    110-PRB grid."""
+    nof_prb = nre // C.NRE
     out = []
-    for i, l in enumerate(MBSFN_RS_SYMS):
-        cinit = ((7 * (subframe + 1) + l + 1) * (2 * area_id + 1) * (1 << 9)
+    for l, slot_add in zip(MBSFN_RS_SYMS, (0, 1, 1)):
+        lp = l % 6
+        slot = 2 * subframe + slot_add
+        cinit = (512 * (7 * (slot + 1) + lp + 1) * (2 * area_id + 1)
                  + area_id) % (1 << 31)
-        c = sequence.gold_sequence_np(cinit, nre).astype(np.float32)
-        r = ((1 - 2 * c[0::2]) + 1j * (1 - 2 * c[1::2])) / np.sqrt(2)
-        out.append(r[: (nre + 1) // 2])
+        c = sequence.gold_sequence_np(cinit, 20 * C.MAX_PRB).astype(
+            np.float32)
+        m = np.arange(6 * nof_prb) + 3 * (C.MAX_PRB - nof_prb)
+        r = ((1 - 2 * c[2 * m]) + 1j * (1 - 2 * c[2 * m + 1])) / np.sqrt(2)
+        out.append(r)
     return np.concatenate(out).astype(np.complex64)
 
 

@@ -200,3 +200,53 @@ def demodulate(cfg: OfdmConfig, samples: jnp.ndarray) -> jnp.ndarray:
     if ramp is not None:
         grid = grid * jnp.asarray(ramp)
     return grid
+
+
+@functools.lru_cache(maxsize=8)
+def _mbsfn_symbol_offsets(cfg: OfdmConfig,
+                          non_mbsfn_region: int) -> np.ndarray:
+    """Start-of-body offsets for an MBSFN subframe (12 ext-CP symbols).
+
+    The reference's layout (ofdm_rx_slot_mbsfn, ofdm.c:522-534): the
+    first `non_mbsfn_region` symbols of slot 0 use normal-CP lengths,
+    followed by a guard of 2·cp_ext − cp0_norm − cp1_norm samples
+    (SRSRAN_NON_MBSFN_REGION_GUARD_LENGTH), then extended-CP symbols;
+    slot 1 is all extended CP.  cfg must be an extended-CP config."""
+    assert not cfg.normal_cp
+    n = cfg.symbol_sz
+    cp_e = C.cp_len_ext(n)
+    # slot 0: normal-CP region, guard, extended-CP region
+    offs, pos = [], 0
+    for l in range(6):
+        if l < non_mbsfn_region:
+            cp = C.cp_len_norm(l, n)
+        else:
+            if l == non_mbsfn_region:
+                pos += (non_mbsfn_region * cp_e
+                        - sum(C.cp_len_norm(i, n)
+                              for i in range(non_mbsfn_region)))
+            cp = cp_e
+        offs.append(pos + cp)
+        pos += cp + n
+    # slot 1: plain extended CP
+    for l in range(6):
+        offs.append(pos + cp_e)
+        pos += cp_e + n
+    assert pos == cfg.sf_len, (pos, cfg.sf_len)
+    return np.asarray(offs, np.int64)
+
+
+def demodulate_mbsfn(cfg: OfdmConfig, samples: jnp.ndarray,
+                     non_mbsfn_region: int = 2) -> jnp.ndarray:
+    """Demodulate one MBSFN subframe: (..., sf_len) → (..., 12, nre).
+
+    Counterpart of srsran_ofdm_rx_sf on an MBSFN subframe
+    (ofdm.c:560-563): mixed normal/extended CP in slot 0, extended CP
+    in slot 1."""
+    n = cfg.symbol_sz
+    offs = _mbsfn_symbol_offsets(cfg, non_mbsfn_region)
+    idx = jnp.asarray(offs[:, None] + np.arange(n)[None, :])
+    syms = samples[..., idx]
+    freq = jnp.fft.fft(syms, axis=-1).astype(jnp.complex64) / jnp.sqrt(
+        jnp.asarray(n, dtype=jnp.float32)).astype(jnp.complex64)
+    return freq[..., jnp.asarray(_sc_to_bin(cfg))]

@@ -295,3 +295,34 @@ class TestNpdcchFiles:
         # ... and to a valid DL grant (npdsch_npdcch_dci_formatN1_test)
         assert (dci.i_sf, dci.mcs, dci.i_rep) == (1, 3, 0)
         assert dci.nof_sf == 2 and dci.tbs > 0
+
+
+# --------------------------------------------------- PMCH capture
+
+class TestPmchFile:
+    """pmch_file_test -i pmch_100prbs_MCS2_SR0.bin
+    (phch/test/CMakeLists.txt:463): one MBSFN subframe, 100-PRB ext-CP
+    cell at the reduced 23.04 Msps rate, MBSFN area 1, subframe 1,
+    MCS 2 full-band grant (TBS 4584).  Pass criterion: PMCH CRC OK
+    (pmch_file_test.c:225 "PMCH Decoded OK!")."""
+
+    def test_pmch_decodes(self):
+        from srsran_4g_tpu.models import pmch, ra
+
+        raw = np.fromfile(f"{REF}/pmch_100prbs_MCS2_SR0.bin",
+                          np.complex64)
+        cfg = ofdm.OfdmConfig(nof_prb=100, normal_cp=False,
+                              custom_symbol_sz=1536)
+        assert raw.size == cfg.sf_len    # one subframe at 23.04 Msps
+        grid = ofdm.demodulate_mbsfn(cfg, jnp.asarray(raw)[None])
+        tbs = ra.tbs_from_itbs(2, 100)   # dci.tb[0].mcs_idx = 2
+        assert tbs == 4584
+        pc = pmch.PmchConfig(nof_prb=100, area_id=1, subframe=1,
+                             mod="qpsk", tbs=tbs)
+        out = pmch.decode(pc, grid, n_iter=8)
+        assert bool(out["crc_ok"][0])
+        payload = np.packbits(
+            np.asarray(out["bits"][0]).astype(np.uint8)).tobytes()
+        assert any(payload)
+        # srsran's random test payload (srsran_random with seed 0)
+        assert payload[:4] == bytes.fromhex("67c66973")
