@@ -25,8 +25,13 @@ import numpy as np
 def main() -> None:
     import os
 
-    if os.environ.get("BENCH_MODE") == "mimo":
+    mode = os.environ.get("BENCH_MODE", "both")
+    if mode == "mimo":
         return main_mimo()
+    if mode == "both":
+        # one driver invocation records BOTH lanes: the 2x2 MIMO line
+        # first, the SISO headline (parsed as the last JSON line) second
+        main_mimo()
     import jax
     import jax.numpy as jnp
 

@@ -84,3 +84,15 @@ def decode(
     ref = jnp.asarray((np.tile(w, 3) * (1.0 - 2.0 * c)).astype(np.complex64))
     metric = jnp.real(jnp.sum(x * jnp.conj(ref), axis=-1)) * jnp.sqrt(2.0)
     return dict(ack=(metric > 0).astype(jnp.int8), metric=metric)
+
+
+def phich_alloc(cell_nof_prb: int, i_prb_ra: int, n_dmrs: int = 0,
+                ng: float = 1.0) -> tuple[int, int]:
+    """(group, sequence) of the PHICH acknowledging a PUSCH at lowest
+    PRB index `i_prb_ra` (36.213 §9.1.2; phich.c srsran_phich_calc):
+    n_group = (I_PRB_RA + n_DMRS) mod N_group,
+    n_seq = (floor(I_PRB_RA / N_group) + n_DMRS) mod 2·N_SF."""
+    n_group = int(np.ceil(ng * cell_nof_prb / 8))
+    group = (i_prb_ra + n_dmrs) % n_group
+    nseq = (i_prb_ra // n_group + n_dmrs) % 8
+    return group, nseq

@@ -207,17 +207,48 @@ class DlScheduler:
             return 1.0
         return inst / max(ue.avg_rate, 1.0)
 
+    def _sf_cap_bits(self, sf: int, prbs: tuple[int, ...], mcs: int) -> int:
+        """Exact PDSCH bit capacity of this allocation in subframe `sf`
+        (the reference's per-subframe ra_re_x_prb accounting,
+        ra_dl.c:45-161: sync/PBCH REs in subframes 0/5 shrink it)."""
+        from srsran_4g_tpu.models import grid as G
+
+        cell = G.CellConfig(
+            nof_prb=self.nof_prb, cell_id=1,
+            cfi=3 if self.nof_prb <= 10 else 2)
+        qm = {"qpsk": 2, "16qam": 4, "64qam": 6}[ra.dl_mcs_to_mod(mcs)]
+        return len(G.pdsch_re_indices(cell, sf, prbs)) * qm
+
+    def _fit_mcs(self, sf: int, prbs: tuple[int, ...],
+                 mcs: int) -> tuple[int, int]:
+        """Largest MCS ≤ `mcs` whose TBS fits the subframe's actual RE
+        capacity at code rate ≤ 0.93 (dl_metric.cc alloc_data TBS from
+        per-sf nof_re)."""
+        while mcs > 0:
+            tbs = ra.dl_tbs(mcs, len(prbs))
+            if tbs + 24 <= 0.93 * self._sf_cap_bits(sf, prbs, mcs):
+                return mcs, tbs
+            mcs -= 1
+        return 0, ra.dl_tbs(0, len(prbs))
+
     def get_dl_sched(self, tti: int) -> list[DlGrant]:
         grants: list[DlGrant] = []
         free_prbs = list(range(self.nof_prb))
 
-        # 1) retransmissions first (same PRB count, next rv)
+        sf = tti % 10
+        # 1) retransmissions first (same PRB count, next rv); a retx
+        # whose fixed TBS cannot fit this subframe (sync/PBCH REs in
+        # 0/5) waits for the next opportunity
         for ue in self.ues.values():
             while ue.pending_retx and free_prbs:
                 pid = ue.pending_retx.pop(0)
                 h = ue.harq[pid]
                 need = len(h.prb_mask)
                 if need > len(free_prbs):
+                    ue.pending_retx.insert(0, pid)
+                    break
+                if h.tbs + 24 > 0.93 * self._sf_cap_bits(
+                        sf, tuple(free_prbs[:need]), h.mcs):
                     ue.pending_retx.insert(0, pid)
                     break
                 prbs = tuple(free_prbs[:need])
@@ -248,7 +279,7 @@ class DlScheduler:
                     break
             prbs = tuple(free_prbs[:n_prb])
             free_prbs = free_prbs[n_prb:]
-            tbs = ra.dl_tbs(mcs, n_prb)
+            mcs, tbs = self._fit_mcs(sf, prbs, mcs)
             pid = ue.free_harq()
             h = ue.harq[pid]
             h.active, h.tbs, h.mcs, h.prb_mask = True, tbs, mcs, prbs

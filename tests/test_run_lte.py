@@ -1,12 +1,15 @@
 """System E2E test over the real PHY (counterpart of test/run_lte.sh).
 
-Runs the full network — PRACH detect, RAR + msg3, contention resolution,
-RRC attach with AKA + SMC, DRB setup, ciphered ping train — where every
+Runs the full network — over-the-air cell acquisition (PSS/SSS sync →
+PBCH MIB → SI), PRACH detect, RAR + msg3, contention resolution, RRC
+attach with AKA + SMC, DRB setup, ciphered ping train — where every
 grant travels over the air: eNB MAC scheduler → DCI on PDCCH → UE blind
-decode → PDSCH/PUSCH, HARQ-ACK + SR + CQI on PUCCH (the reference's
-mac.cc:639 → cc_worker.cc:259-301 contract).  Pass criteria mirror
-run_lte.sh:82-160: attach OK, exactly 1 PRACH per UE, 0 unrecovered PHY
-KO, 0% ping loss, CQI at target.
+decode → PDSCH/PUSCH, HARQ-ACK + SR + CQI on PUCCH, PHICH for UL HARQ
+(the reference's sync.cc:684-709 acquisition FSM + mac.cc:639 →
+cc_worker.cc:259-301 contract).  All ten subframe indices are exercised
+per frame (scrambling, CRS phase, search-space Yk).  Pass criteria
+mirror run_lte.sh:82-160: attach OK, exactly 1 PRACH per UE, 0
+unrecovered PHY KO, 0% ping loss, CQI at target.
 
 The PRB matrix mirrors the reference's test/CMakeLists.txt:27-33
 (6/15/25/50/75/100 PRB).
@@ -25,6 +28,14 @@ def _run(prb: int, ues: int, ttis: int, pings: int = 2):
 
     ok, stats, ue_nodes, mme = run_lte.run(
         n_ttis=ttis, n_pings=pings, snr_db=30.0, nof_prb=prb, n_ues=ues)
+    # every UE camped via the OTA acquisition chain with the right PCI
+    for u in ue_nodes:
+        assert u.sync_state == "camped" and u.acq_pci == 1, \
+            (u.sync_state, u.acq_pci)
+        assert u.acq_sfn >= 0
+    # PHICH carried the UL HARQ feedback for every received PUSCH
+    assert stats["phich_ack"] > 0, stats
+    assert stats["phich_ack"] + stats["phich_nack"] >= stats["pusch_tx"] - 4
     assert all(u.nas.is_registered() for u in ue_nodes), stats
     assert stats["prach"] == ues
     assert stats["pdsch_ko"] == 0 and stats["pusch_ko"] == 0, stats
@@ -43,14 +54,16 @@ def _run(prb: int, ues: int, ttis: int, pings: int = 2):
 
 def test_two_ue_attach_and_ping_6prb():
     """Main case: 2 UEs, full OTA control loop, 6 PRB."""
-    stats, ues = _run(prb=6, ues=2, ttis=280)
+    stats, ues = _run(prb=6, ues=2, ttis=360)
     # distinct C-RNTIs allocated at RACH
     assert len({u.crnti for u in ues}) == 2
 
 
-@pytest.mark.parametrize("prb", [15, 50, 100])
+@pytest.mark.parametrize("prb", [15, 25, 50, 75, 100])
 def test_prb_matrix_single_ue(prb):
-    _run(prb=prb, ues=1, ttis=200)
+    """Reference matrix test/CMakeLists.txt:27-33: all six bandwidths
+    (6 PRB is the main 2-UE case above)."""
+    _run(prb=prb, ues=1, ttis=300)
 
 
 def test_carrier_aggregation_two_cc():
@@ -62,9 +75,31 @@ def test_carrier_aggregation_two_cc():
     import run_lte
 
     ok, stats, ues, mme = run_lte.run(
-        n_ttis=280, n_pings=2, snr_db=30.0, nof_prb=6, n_ues=1,
+        n_ttis=360, n_pings=2, snr_db=30.0, nof_prb=6, n_ues=1,
         n_cc=2, burst_bytes=1400)
     assert ok, stats
     assert stats["scell_tx"] > 0, stats          # SCell carried data
     assert stats["pdsch_ko"] == 0, stats
     assert 1 in ues[0].mac.demux.active_scells   # activation CE received
+
+
+def test_harq_under_fire_epa_fading():
+    """HARQ under impairments: EPA fading + low SNR.  Retransmissions
+    must actually happen AND everything recovers: attach + 0%% ping
+    loss with pdsch/pusch KOs > 0, PHICH NACKs observed over the air,
+    CQI visibly tracking the fading channel (the reference's channel
+    emulator hookup, srsue/src/phy/sync.cc:88-90 + BLER-adaptive MCS,
+    CHANGELOG 21.10)."""
+    import run_lte
+
+    ok, stats, ues, mme = run_lte.run(
+        n_ttis=500, n_pings=2, snr_db=14.0, nof_prb=6, n_ues=1,
+        fading_profile="epa", doppler_hz=5.0)
+    assert ok, stats
+    assert stats["pdsch_ko"] + stats["pusch_ko"] > 0, stats
+    assert stats["phich_nack"] > 0, stats        # NACKs over the air
+    assert stats["dl_retx"] > 0, stats
+    assert stats["dl_ping_rx"] == 2 and stats["ul_ping_rx"] >= 2, stats
+    # CQI steps with the channel (not pinned at the AWGN target)
+    cqis = ues[0].cqi_sent
+    assert min(cqis) < 10 and len(set(cqis)) > 2, cqis

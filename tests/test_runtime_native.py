@@ -72,3 +72,22 @@ def test_pcap_writer(tmp_path):
         assert raw[pos + 16:pos + 16 + caplen] == p
         pos += 16 + caplen
     assert pos == len(raw)
+
+
+def test_tsan_ring_race_free():
+    """ThreadSanitizer gate for the native SPSC ring (the reference's
+    ENABLE_TSAN CI equivalent, CMakeLists.txt:85-88): a producer and a
+    consumer thread stream 2M samples through the ring under TSAN; any
+    data race aborts the binary, and the sequence-numbered stream must
+    arrive intact."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("g++ not available")
+    native = os.path.join(os.path.dirname(__file__), "..", "native")
+    r = subprocess.run(["make", "-C", native, "tsan"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    assert "stream intact" in r.stdout
+    assert "WARNING: ThreadSanitizer" not in r.stderr

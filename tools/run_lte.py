@@ -59,6 +59,15 @@ class UeNode:
         self.rrc.tx = lambda lcid, pdu: self.rlc[lcid].write_sdu(pdu)
         self.crnti = 0
         self.ra_rnti = 0
+        # over-the-air acquisition state (srsue sync.cc FSM analog):
+        # search (PSS/SSS) -> mib (PBCH) -> camped
+        self.sync_state = "search"
+        self.acq_pci = -1
+        self.sf_off = 0          # tti of the last detected subframe 0
+        self.acq_sfn = -1
+        self.phich_watch: list[tuple[int, int, int]] = []  # (tti, grp, seq)
+        self.last_pusch: dict[int, tuple] = {}   # pid -> (cfg, pdu, rv)
+        self.dl_softbufs: dict = {}     # HARQ chase-combining buffers
         from srsran_4g_tpu.stack.ue_mac import DlHarqEntity
         self.scell_harq = DlHarqEntity()   # per-carrier DL HARQ entity
         self.prach_sent = False
@@ -140,8 +149,13 @@ class UeNode:
                         self.mac.ra.ue_contention_id = \
                             sub.payload[:6].ljust(6, b"\0")
                         break
-            cfg = _ul_cfg(self.air.cell, self.crnti, prb_start, prb_len, mcs)
+            cfg = _ul_cfg(self.air.cell, self.crnti, prb_start, prb_len,
+                          mcs, sf=due % 10)
             self.pending_pusch.append((due, cfg, out["pdu"]))
+            self.last_pusch[pid] = (cfg, out["pdu"], 0)
+            from srsran_4g_tpu.models.phich import phich_alloc
+            grp, seq = phich_alloc(self.air.cell.nof_prb, prb_start)
+            self.phich_watch.append((due + 4, grp, seq))
 
     def handle_dl_dci(self, tti: int, d, cce_start: int,
                       pdu: bytes | None, cc: int = 0) -> None:
@@ -181,11 +195,15 @@ class UeNode:
     # -- UL composition ------------------------------------------------------
 
     def ul_grid(self, tti: int, cqi_due: bool):
+        from dataclasses import replace as dc_replace
+
         pusch = None
         due = [p for p in self.pending_pusch if p[0] <= tti]
         self.pending_pusch = [p for p in self.pending_pusch if p[0] > tti]
         if due:
             _, cfg, pdu = due[0]
+            if cfg.subframe != tti % 10:     # slipped past its due TTI
+                cfg = dc_replace(cfg, subframe=tti % 10)
             pusch = (cfg, pdu)
             self.stats["pusch_tx"] += 1
         acks = [a for a in self.pending_ack if a[0] <= tti]
@@ -211,15 +229,17 @@ class UeNode:
             cqi = (self.n_pucch_2, self.crnti, val)
         if pusch is None and ack is None and sr is None and cqi is None:
             return None
-        g = self.air.ue_ul_tx(pusch, ack=ack, sr=sr, cqi=cqi)
+        sf = tti % 10
+        g = self.air.ue_ul_tx(pusch, ack=ack, sr=sr, cqi=cqi, sf=sf)
         if ack2 is not None:
-            g2 = self.air.ue_ul_tx(None, ack=ack2)
+            g2 = self.air.ue_ul_tx(None, ack=ack2, sf=sf)
             g = g2 if g is None else g + g2
         return g
 
 
 def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
         n_ues: int = 1, n_cc: int = 1, burst_bytes: int = 0,
+        fading_profile: str | None = None, doppler_hz: float = 5.0,
         verbose: bool = False):
     import jax
 
@@ -235,10 +255,18 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
 
     stats = {"prach": 0, "pdsch_ko": 0, "pusch_ko": 0, "pdsch_tx": 0,
              "pusch_tx": 0, "dl_ping_rx": 0, "ul_ping_rx": 0,
-             "dci_tx": 0, "dci_missed": 0}
+             "dci_tx": 0, "dci_missed": 0, "phich_ack": 0,
+             "phich_nack": 0}
     log = (lambda *a: print(*a, flush=True)) if verbose else (lambda *a: None)
 
-    air = LteAirPhy(nof_prb=nof_prb, snr_db=snr_db)
+    fading = None
+    if fading_profile:
+        from srsran_4g_tpu.channel.fading import FadingConfig
+        from srsran_4g_tpu.utils import constants as C
+
+        fading = FadingConfig(fading_profile, doppler_hz,
+                              C.symbol_sz(nof_prb) * 15e3)
+    air = LteAirPhy(nof_prb=nof_prb, snr_db=snr_db, fading=fading)
     # carrier aggregation: a second carrier with its own cell id/PHY
     air_s = (LteAirPhy(nof_prb=nof_prb, cell_id=2, snr_db=snr_db, seed=11)
              if n_cc == 2 else None)
@@ -299,6 +327,7 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
     # eNB-side PUCCH expectations
     ack_watch: list[tuple[int, int, int, int]] = []  # (tti, rnti, pid, n_pucch)
     pusch_watch: list[tuple[int, object, object]] = []  # (tti, grant, cfg)
+    phich_pending: list[tuple[int, int, int, int]] = []  # (tti, grp, seq, ack)
 
     pings_sent = {ue.idx: 0 for ue in ues}
     attach_tti: dict[int, int] = {}
@@ -313,16 +342,17 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
         enb_mac.tick(1)
 
         # 1. PRACH (once per UE, as in run_lte.sh's "exactly 1 PRACH");
-        # the UE must first acquire SI over BCCH and camp (si_acquire_proc
-        # + cell_selection_proc before connection_request_proc)
-        pci = air.cell.cell_id
+        # the UE must first acquire the cell over the air (PSS/SSS sync +
+        # PBCH MIB, sync.cc:684-709 FSM) then SI over BCCH before the
+        # connection_request_proc
         for ue in ues:
             idle = ue.rrc.idle
-            if (not ue.prach_sent and idle.si_acquired(pci)
+            pci = ue.acq_pci          # known only after OTA acquisition
+            if (not ue.prach_sent and pci >= 0 and idle.si_acquired(pci)
                     and idle.serving_pci is None):
                 idle.select_cell()
             # one PRACH occasion per UE index (staggered RA subframes)
-            if (not ue.prach_sent and idle.serving_pci == pci
+            if (not ue.prach_sent and pci >= 0 and idle.serving_pci == pci
                     and tti % 10 == (2 * ue.idx + 2) % 10):
                 ue.rrc.connect()
                 idx = ue.mac.ra.start(ue.mac.contention_id)
@@ -337,6 +367,7 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
         # 2. eNB scheduling: DL items + UL DCIs for this TTI's PDCCH
         from srsran_4g_tpu.runtime.lte_air import _ul_cfg
 
+        sf = tti % 10
         dl_items = enb_mac.get_dl_sched(tti)
         ul_items = enb_mac.get_ul_sched(tti)
         used_cces: set[int] = set()
@@ -344,11 +375,11 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
         for it in dl_items:
             bits = dci_mod.pack_1a(it.dci, nof_prb)
             alloc = air.cch.alloc(it.grant.rnti, used_cces,
-                                  min_l=4 if it.is_rar else 1)
+                                  min_l=4 if it.is_rar else 1, sf=sf)
             if alloc is None:
                 continue
             l_agg, cce_start = alloc
-            cfg = dci_to_pdsch_cfg(air.cell, it.grant.rnti, it.dci)
+            cfg = dci_to_pdsch_cfg(air.cell, it.grant.rnti, it.dci, sf)
             tx_list.append((cfg, it.pdu, bits, it.grant.rnti, l_agg,
                             cce_start))
             stats["pdsch_tx"] += 1
@@ -359,12 +390,12 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
         for it in ul_items:
             g = it.grant
             cfg = _ul_cfg(air.cell, g.rnti, g.prb_start, g.prb_len, g.mcs,
-                          rv=g.rv)
+                          rv=g.rv, sf=(tti + 4) % 10)
             if it.is_msg3:
                 pusch_watch.append((tti, g, cfg))
                 continue
             bits = dci_mod.pack_0(it.dci, nof_prb)
-            alloc = air.cch.alloc(g.rnti, used_cces)
+            alloc = air.cch.alloc(g.rnti, used_cces, sf=sf)
             if alloc is None:
                 continue
             l_agg, cce_start = alloc
@@ -372,8 +403,20 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
             stats["dci_tx"] += 1
             pusch_watch.append((tti + 4, g, cfg))
 
-        # 3. DL over the air
-        dl_samples = air.enb_dl_tx(tx_list) if tx_list else None
+        # 3. DL over the air: the eNB transmits EVERY subframe (CRS +
+        # PCFICH always; PSS/SSS at sf 0/5, PBCH at sf 0, PHICH for
+        # pending UL HARQ feedback) so UEs can acquire and track OTA
+        due_ph = [p for p in phich_pending if p[0] == tti]
+        phich_pending[:] = [p for p in phich_pending if p[0] != tti]
+        mib = None
+        if sf == 0:
+            sfn = tti // 10
+            mib_bytes = enb_rrc.gen_mib(sfn).pack()
+            mib = (np.unpackbits(np.frombuffer(mib_bytes, np.uint8))[:24]
+                   .astype(np.int8), sfn % 4)
+        dl_samples = air.enb_dl_tx(tx_list, sf=sf,
+                                   phich=[p[1:] for p in due_ph], mib=mib,
+                                   tti=tti)
 
         # 3b. SCell DL (data-only; CaScheduler shared-buffer draining)
         scell_samples = None
@@ -383,11 +426,11 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
             s_used: set[int] = set()
             for it in s_items:
                 bits = dci_mod.pack_1a(it.dci, nof_prb)
-                alloc = air_s.cch.alloc(it.grant.rnti, s_used)
+                alloc = air_s.cch.alloc(it.grant.rnti, s_used, sf=sf)
                 if alloc is None:
                     continue
                 l_agg, cce_start = alloc
-                cfg = dci_to_pdsch_cfg(air_s.cell, it.grant.rnti, it.dci)
+                cfg = dci_to_pdsch_cfg(air_s.cell, it.grant.rnti, it.dci, sf)
                 s_tx.append((cfg, it.pdu, bits, it.grant.rnti, l_agg,
                              cce_start))
                 stats["pdsch_tx"] += 1
@@ -396,13 +439,50 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
                                   it.grant.harq_pid,
                                   air.cch.n_cce + 4 + cce_start, 1))
             if s_tx:
-                scell_samples = air_s.enb_dl_tx(s_tx)
+                scell_samples = air_s.enb_dl_tx(s_tx, sf=sf)
 
-        # 4. UE DL reception: blind decode every TTI a DCI could arrive
+        # 4. UE DL reception.  Each UE first acquires the cell over the
+        # air: PSS/SSS search -> PBCH MIB (+ sfn/subframe alignment) ->
+        # camped; only then does it blind-decode PDCCH each TTI using
+        # its OWN tracked subframe index.
         if dl_samples is not None:
             from srsran_4g_tpu.stack.enb_mac import SI_RNTI
+            from srsran_4g_tpu.stack.rrc_msgs import Mib
 
             for ue in ues:
+                if ue.sync_state == "search":
+                    found = air.ue_cell_search(dl_samples)
+                    if found["found"]:
+                        ue.acq_pci = found["cell_id"]
+                        # PSS marks sf 0 (phase 0) or sf 5 (phase 1)
+                        ue.sf_off = (tti - 5 * found["phase"]) % 10
+                        ue.sync_state = "mib"
+                        log(f"tti {tti}: ue{ue.idx} SYNC pci="
+                            f"{ue.acq_pci} phase={found['phase']}")
+                    continue
+                ue_sf = (tti - ue.sf_off) % 10
+                if ue.sync_state == "mib":
+                    if ue_sf != 0:
+                        continue
+                    r = air.ue_mib_rx(dl_samples, ue.acq_pci)
+                    if r is not None:
+                        m = Mib.unpack(np.packbits(
+                            r["mib"].astype(np.uint8)).tobytes())
+                        assert m.dl_bandwidth == nof_prb
+                        ue.acq_sfn = m.sfn + r["block"]
+                        ue.sync_state = "camped"
+                        log(f"tti {tti}: ue{ue.idx} MIB ok bw="
+                            f"{m.dl_bandwidth} sfn={ue.acq_sfn}")
+                    continue
+                pci = ue.acq_pci
+                # PHICH for PUSCHs sent 4 TTIs ago (cc_worker decode_phich)
+                ph_due = [w for w in ue.phich_watch if w[0] == tti]
+                ue.phich_watch = [w for w in ue.phich_watch if w[0] > tti]
+                for _, grp, seq in ph_due:
+                    if air.ue_phich_rx(dl_samples, grp, seq, sf=ue_sf):
+                        stats["phich_ack"] += 1
+                    else:
+                        stats["phich_nack"] += 1
                 watch = []
                 if not ue.rrc.idle.si_acquired(pci):
                     watch.append(SI_RNTI)
@@ -411,7 +491,10 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
                 if ue.mac.ra.state == ue.mac.ra.RAR_WAIT:
                     watch.append(ue.ra_rnti)
                 for rnti in [r for r in watch if r]:
-                    rx = air.ue_dl_rx_multi(dl_samples, rnti)
+                    rx = air.ue_dl_rx_multi(
+                        dl_samples, rnti, sf=ue_sf,
+                        harq_bufs=(ue.dl_softbufs if rnti == ue.crnti
+                                   else None))
                     ue.last_snr = rx["snr_db"]
                     for hit in rx["hits"]:
                         if rnti == SI_RNTI and hit.get("pdu") is not None:
@@ -430,7 +513,7 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
             for ue in ues:
                 if 1 not in ue.mac.demux.active_scells or not ue.crnti:
                     continue
-                rx = air_s.ue_dl_rx_multi(scell_samples, ue.crnti)
+                rx = air_s.ue_dl_rx_multi(scell_samples, ue.crnti, sf=sf)
                 for hit in rx["hits"]:
                     if "dci" in hit:
                         ue.handle_dl_dci(tti, hit["dci"], hit["cce_start"],
@@ -440,14 +523,24 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
         cqi_due = (tti % 20) == 5
         grids = [ue.ul_grid(tti, cqi_due) for ue in ues]
         if any(g is not None for g in grids) or pusch_watch or ack_watch:
-            ul_samples = air.combine_ul(grids)
+            from dataclasses import replace as dc_replace
+
+            ul_samples = air.combine_ul(grids, tti=tti)
             ul_grid = air.enb_ul_grid(ul_samples)
-            # PUSCH
+            # PUSCH; each decode also produces a PHICH ACK/NACK on the
+            # DL 4 TTIs later (phich.c; srsenb cc_worker encode_phich)
+            from srsran_4g_tpu.models.phich import phich_alloc
+
             due = [w for w in pusch_watch if w[0] <= tti]
             pusch_watch = [w for w in pusch_watch if w[0] > tti]
             for _, g, cfg in due:
+                if cfg.subframe != sf:
+                    cfg = dc_replace(cfg, subframe=sf)
                 pdu = air.enb_pusch_rx(ul_grid, cfg)
                 enb_mac.crc_info(tti, g.rnti, g.harq_pid, pdu is not None)
+                grp, seq = phich_alloc(nof_prb, g.prb_start)
+                phich_pending.append((tti + 4, grp, seq,
+                                      1 if pdu is not None else 0))
                 if pdu is None:
                     stats["pusch_ko"] += 1
                 else:
@@ -456,16 +549,17 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
             acks = [w for w in ack_watch if w[0] <= tti]
             ack_watch = [w for w in ack_watch if w[0] > tti]
             for _, rnti, pid, n_pucch, cc in acks:
-                r = air.enb_pucch_ack_rx(ul_grid, n_pucch)
+                r = air.enb_pucch_ack_rx(ul_grid, n_pucch, sf=sf)
                 enb_mac.dl_ack_info(rnti, pid, bool(r), cc=cc)
             # SR + CQI
             for ue in ues:
                 if not ue.crnti:
                     continue
-                if air.enb_sr_rx(ul_grid, ue.n_pucch_sr):
+                if air.enb_sr_rx(ul_grid, ue.n_pucch_sr, sf=sf):
                     enb_mac.ul_bsr(ue.crnti, 128)
                 if cqi_due:
-                    cqi = air.enb_cqi_rx(ul_grid, ue.n_pucch_2, ue.crnti)
+                    cqi = air.enb_cqi_rx(ul_grid, ue.n_pucch_2, ue.crnti,
+                                         sf=sf)
                     enb_mac.dl_cqi_info(ue.crnti, cqi)
                     if air_s is not None and cqi >= 13:
                         # good-CQI trigger: activate the SCell (36.321 CE)
@@ -494,16 +588,24 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
                 pings_sent[ue.idx] += 1
 
     stats["scell_tx"] = enb_mac.metrics["scell_tx"]
+    stats["dl_retx"] = enb_mac.metrics["dl_retx"]
     total_pings = n_pings * len(ues) + (1 if burst_bytes else 0)
+    impaired = fading_profile is not None or snr_db < 25
     all_cqi_target = all(
-        c >= 13 for ue in ues for c in ue.cqi_sent[1:]) if snr_db >= 25 \
-        else True
+        c >= 13 for ue in ues for c in ue.cqi_sent[1:]) \
+        if not impaired else True
     ok = (all(ue.nas.is_registered() for ue in ues)
           and stats["prach"] == len(ues)
           and stats["dl_ping_rx"] == total_pings
           and stats["ul_ping_rx"] >= total_pings
-          and stats["pdsch_ko"] == 0 and stats["pusch_ko"] == 0
           and all_cqi_target)
+    if impaired:
+        # HARQ-under-fire: losses must occur AND be recovered
+        # (attach + 0% ping loss above, retransmissions observed)
+        ok = ok and (stats["pdsch_ko"] + stats["pusch_ko"]) > 0 \
+            and stats["dl_retx"] > 0
+    else:
+        ok = ok and stats["pdsch_ko"] == 0 and stats["pusch_ko"] == 0
     return ok, stats, ues, mme
 
 
@@ -516,6 +618,8 @@ def main() -> int:
     ap.add_argument("--ues", type=int, default=2)
     ap.add_argument("--cc", type=int, default=1, choices=(1, 2))
     ap.add_argument("--burst", type=int, default=0)
+    ap.add_argument("--fading", choices=("epa", "eva", "etu"), default=None)
+    ap.add_argument("--doppler", type=float, default=5.0)
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args()
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -525,7 +629,8 @@ def main() -> int:
     ok, stats, ues, mme = run(args.ttis, args.pings, args.snr,
                               nof_prb=args.prb, n_ues=args.ues,
                               n_cc=args.cc, burst_bytes=args.burst,
-                              verbose=args.v)
+                              fading_profile=args.fading,
+                              doppler_hz=args.doppler, verbose=args.v)
     for ue in ues:
         print(f"ue{ue.idx}: attached={ue.nas.is_registered()} "
               f"crnti={ue.crnti:#x} cqi={ue.cqi_sent}")
