@@ -41,13 +41,25 @@ SI_MCS = 2
 
 def pack_rar_ul_grant(nof_prb: int, prb_start: int, prb_len: int,
                       mcs: int) -> int:
-    return (ra.riv_encode(nof_prb, prb_len, prb_start) << 5) | mcs
+    """The real 20-bit 36.213 §6.2 RAR UL grant (srsran_dci_rar_pack,
+    dci.c:55): hopping(1) | RBA/truncated-RIV(10) | trunc_mcs(4) |
+    TPC(3) | UL-delay(1) | CSI-request(1)."""
+    assert mcs < 16, "RAR grant carries a 4-bit truncated MCS"
+    riv = ra.riv_encode(nof_prb, prb_len, prb_start) & 0x3FF
+    return (0 << 19) | (riv << 9) | (mcs << 5) | (0b100 << 2) | 0
 
 
 def unpack_rar_ul_grant(nof_prb: int, g: int) -> tuple[int, int, int, int]:
-    """→ (prb_start, prb_len, mcs, tbs)."""
-    mcs = g & 0x1F
-    l_crbs, rb_start = ra.riv_decode(nof_prb, g >> 5)
+    """→ (prb_start, prb_len, mcs, tbs) (srsran_dci_rar_to_ul_dci,
+    dci.c:68: RIV truncation per bandwidth)."""
+    import math
+
+    riv = (g >> 9) & 0x3FF
+    mcs = (g >> 5) & 0xF
+    if nof_prb <= 44:
+        b = math.ceil(math.log2(nof_prb * (nof_prb + 1) / 2))
+        riv &= (1 << (b + 1)) - 1
+    l_crbs, rb_start = ra.riv_decode(nof_prb, riv)
     tbs = ra.tbs_from_itbs(ra.ul_mcs_to_itbs(mcs), l_crbs)
     return rb_start, l_crbs, mcs, tbs
 

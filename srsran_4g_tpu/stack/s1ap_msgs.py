@@ -455,40 +455,96 @@ class HandoverNotify:
 
 
 # --------------------------------------------------------------------------
-# PDU framing
+# PDU framing: 3GPP-exact aligned-PER S1AP-PDUs (36.413 §9.1; the
+# container + IE layouts are byte-exact against the reference's
+# committed golden vectors — tests/test_s1ap_golden.py).  The legacy
+# [proc][type][len] framing used through round 2 is gone.
 
-_IES_CODECS = {
-    (PROC_HANDOVER_REQUIRED, PDU_INITIATING): HandoverRequired,
-    (PROC_HANDOVER_REQUEST, PDU_INITIATING): HandoverRequest,
-    (PROC_HANDOVER_REQUEST, PDU_SUCCESSFUL): HandoverRequestAcknowledge,
-    (PROC_HANDOVER_REQUIRED, PDU_SUCCESSFUL): HandoverCommand,
-    (PROC_ENB_STATUS_TRANSFER, PDU_INITIATING): StatusTransfer,
-    (PROC_MME_STATUS_TRANSFER, PDU_INITIATING): StatusTransfer,
-    (PROC_HANDOVER_NOTIFY, PDU_INITIATING): HandoverNotify,
-    (PROC_S1_SETUP, PDU_INITIATING): S1SetupRequest,
-    (PROC_S1_SETUP, PDU_SUCCESSFUL): S1SetupResponse,
-    (PROC_INITIAL_UE_MESSAGE, PDU_INITIATING): InitialUeMessage,
-    (PROC_DOWNLINK_NAS_TRANSPORT, PDU_INITIATING): NasTransport,
-    (PROC_UPLINK_NAS_TRANSPORT, PDU_INITIATING): NasTransport,
-    (PROC_INITIAL_CONTEXT_SETUP, PDU_INITIATING): InitialContextSetupRequest,
-    (PROC_INITIAL_CONTEXT_SETUP, PDU_SUCCESSFUL): InitialContextSetupResponse,
-    (PROC_UE_CONTEXT_RELEASE, PDU_INITIATING): UeContextRelease,
-    (PROC_PAGING, PDU_INITIATING): S1Paging,
+from . import s1ap_ies as _IE
+from .s1ap_per import S1apPdu as _Pdu
+from .s1ap_per import CRIT_IGNORE as _CI, CRIT_REJECT as _CR
+
+
+def _ues_from(cls, ies):
+    return _IE.nas_transport_from(cls, ies)
+
+
+_TO_IES = {
+    (PROC_S1_SETUP, PDU_INITIATING): _IE.s1_setup_request_ies,
+    (PROC_S1_SETUP, PDU_SUCCESSFUL): _IE.s1_setup_response_ies,
+    (PROC_INITIAL_UE_MESSAGE, PDU_INITIATING): _IE.initial_ue_message_ies,
+    (PROC_DOWNLINK_NAS_TRANSPORT, PDU_INITIATING): _IE.nas_transport_ies,
+    (PROC_UPLINK_NAS_TRANSPORT, PDU_INITIATING): _IE.nas_transport_ies,
+    (PROC_INITIAL_CONTEXT_SETUP, PDU_INITIATING):
+        _IE.initial_ctxt_setup_request_ies,
+    (PROC_INITIAL_CONTEXT_SETUP, PDU_SUCCESSFUL):
+        _IE.initial_ctxt_setup_response_ies,
+    (PROC_UE_CONTEXT_RELEASE, PDU_INITIATING): _IE.ue_ctxt_release_ies,
+    (PROC_PAGING, PDU_INITIATING): _IE.paging_ies,
+    (PROC_HANDOVER_REQUIRED, PDU_INITIATING): _IE.handover_required_ies,
+    (PROC_HANDOVER_REQUIRED, PDU_SUCCESSFUL): _IE.handover_command_ies,
+    (PROC_HANDOVER_REQUEST, PDU_INITIATING): _IE.handover_request_ies,
+    (PROC_HANDOVER_REQUEST, PDU_SUCCESSFUL): _IE.handover_request_ack_ies,
+    (PROC_ENB_STATUS_TRANSFER, PDU_INITIATING): _IE.status_transfer_ies,
+    (PROC_MME_STATUS_TRANSFER, PDU_INITIATING): _IE.status_transfer_ies,
+    (PROC_HANDOVER_NOTIFY, PDU_INITIATING): _IE.handover_notify_ies,
+}
+
+_FROM_IES = {
+    (PROC_S1_SETUP, PDU_INITIATING):
+        lambda ies: _IE.s1_setup_request_from(S1SetupRequest, ies),
+    (PROC_S1_SETUP, PDU_SUCCESSFUL):
+        lambda ies: _IE.s1_setup_response_from(S1SetupResponse, ies),
+    (PROC_INITIAL_UE_MESSAGE, PDU_INITIATING):
+        lambda ies: _IE.initial_ue_message_from(InitialUeMessage, ies),
+    (PROC_DOWNLINK_NAS_TRANSPORT, PDU_INITIATING):
+        lambda ies: _IE.nas_transport_from(NasTransport, ies),
+    (PROC_UPLINK_NAS_TRANSPORT, PDU_INITIATING):
+        lambda ies: _IE.nas_transport_from(NasTransport, ies),
+    (PROC_INITIAL_CONTEXT_SETUP, PDU_INITIATING):
+        lambda ies: _IE.initial_ctxt_setup_request_from(
+            InitialContextSetupRequest, ErabToSetup, ies),
+    (PROC_INITIAL_CONTEXT_SETUP, PDU_SUCCESSFUL):
+        lambda ies: _IE.initial_ctxt_setup_response_from(
+            InitialContextSetupResponse, ErabSetupItem, ies),
+    (PROC_UE_CONTEXT_RELEASE, PDU_INITIATING):
+        lambda ies: _IE.ue_ctxt_release_from(UeContextRelease, ies),
+    (PROC_PAGING, PDU_INITIATING):
+        lambda ies: _IE.paging_from(S1Paging, ies),
+    (PROC_HANDOVER_REQUIRED, PDU_INITIATING):
+        lambda ies: _IE.handover_required_from(HandoverRequired, ies),
+    (PROC_HANDOVER_REQUIRED, PDU_SUCCESSFUL):
+        lambda ies: _IE.handover_command_from(HandoverCommand, ies),
+    (PROC_HANDOVER_REQUEST, PDU_INITIATING):
+        lambda ies: _IE.handover_request_from(
+            HandoverRequest, ErabToSetup, ies),
+    (PROC_HANDOVER_REQUEST, PDU_SUCCESSFUL):
+        lambda ies: _IE.handover_request_ack_from(
+            HandoverRequestAcknowledge, ErabSetupItem, ies),
+    (PROC_ENB_STATUS_TRANSFER, PDU_INITIATING):
+        lambda ies: _IE.status_transfer_from(StatusTransfer, BearerStatus,
+                                             ies),
+    (PROC_MME_STATUS_TRANSFER, PDU_INITIATING):
+        lambda ies: _IE.status_transfer_from(StatusTransfer, BearerStatus,
+                                             ies),
+    (PROC_HANDOVER_NOTIFY, PDU_INITIATING):
+        lambda ies: _IE.handover_notify_from(HandoverNotify, ies),
 }
 
 
 def pack_pdu(proc: int, pdu_type: int, msg) -> bytes:
-    ies = msg.pack_ies()
-    return bytes([proc, pdu_type]) + len(ies).to_bytes(2, "big") + ies
+    to_ies = _TO_IES.get((proc, pdu_type))
+    if to_ies is None:
+        raise ValueError(f"unknown S1AP (proc={proc}, type={pdu_type})")
+    crit = _CR if pdu_type == PDU_INITIATING else _CR
+    return _Pdu(pdu_type=pdu_type, proc_code=proc, crit=crit,
+                ies=to_ies(msg)).pack()
 
 
 def unpack_pdu(data: bytes) -> tuple[int, int, object]:
-    proc, pdu_type = data[0], data[1]
-    n = int.from_bytes(data[2:4], "big")
-    ies = data[4:4 + n]
-    if len(ies) != n:
-        raise ValueError("S1AP PDU truncated")
-    cls = _IES_CODECS.get((proc, pdu_type))
-    if cls is None:
-        raise ValueError(f"unknown S1AP (proc={proc}, type={pdu_type})")
-    return proc, pdu_type, cls.unpack_ies(ies)
+    pdu = _Pdu.unpack(data)
+    from_ies = _FROM_IES.get((pdu.proc_code, pdu.pdu_type))
+    if from_ies is None:
+        raise ValueError(
+            f"unknown S1AP (proc={pdu.proc_code}, type={pdu.pdu_type})")
+    return pdu.proc_code, pdu.pdu_type, from_ies(pdu.ies)

@@ -58,7 +58,7 @@ def test_service_request_after_idle():
     assert mtmsi and mme.ues[mme_id].mtmsi == mtmsi
     # eNB releases the UE context → ECM-IDLE, session survives
     mme.rx_s1ap(S.pack_pdu(S.PROC_UE_CONTEXT_RELEASE, S.PDU_INITIATING,
-                           S.NasTransport(mme_ue_s1ap_id=mme_id)))
+                           S.UeContextRelease(mme_ue_s1ap_id=mme_id)))
     assert mme.ues[mme_id].ecm_state == "IDLE"
     assert mme.attached_ues() == [IMSI]
     # service request restores the connection and re-establishes the E-RAB
@@ -129,7 +129,7 @@ def test_tracking_area_update():
 def test_idle_tau_via_initial_ue_message():
     ue, mme, mme_id = _attach()
     mme.rx_s1ap(S.pack_pdu(S.PROC_UE_CONTEXT_RELEASE, S.PDU_INITIATING,
-                           S.NasTransport(mme_ue_s1ap_id=mme_id)))
+                           S.UeContextRelease(mme_ue_s1ap_id=mme_id)))
     tau = ue.start_tau()
     out = mme.rx_s1ap(S.pack_pdu(
         S.PROC_INITIAL_UE_MESSAGE, S.PDU_INITIATING,
