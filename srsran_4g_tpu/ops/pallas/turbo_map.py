@@ -98,7 +98,35 @@ def _tables_r4():
                 j = u1 * 2 + u2
                 b_ns[s, j] = ns[m, u2]
                 b_c[s, j] = (u1, par[s, u1], u2, par[m, u2])
-    return dict(a_pred=a_pred, a_c=a_c, b_ns=b_ns, b_c=b_c)
+    # path-labelled alpha tables: j = u1*2 + u2 names the 2-step input
+    # pair; ns(.,u) is a bijection, so each (s, j) has a unique 2-step
+    # predecessor p with ns(ns(p,u1),u2) = s.  With j fixed, u1/u2 are
+    # compile-time constants and only the parity bits vary per state —
+    # the kernel shares the u1*gs0 + u2*gs1 row across all 8 states.
+    a2_pred = np.zeros((8, 4), np.int64)
+    a2_p1 = np.zeros((8, 4), np.int64)
+    a2_p2 = np.zeros((8, 4), np.int64)
+    for u1 in (0, 1):
+        for u2 in (0, 1):
+            j = u1 * 2 + u2
+            for p in range(8):
+                m = ns[p, u1]
+                s = ns[m, u2]
+                a2_pred[s, j] = p
+                a2_p1[s, j] = par[p, u1]
+                a2_p2[s, j] = par[m, u2]
+    b_p1 = np.zeros((8, 4), np.int64)
+    b_p2 = np.zeros((8, 4), np.int64)
+    for s in range(8):
+        for u1 in (0, 1):
+            m = ns[s, u1]
+            for u2 in (0, 1):
+                j = u1 * 2 + u2
+                b_p1[s, j] = par[s, u1]
+                b_p2[s, j] = par[m, u2]
+    return dict(a_pred=a_pred, a_c=a_c, b_ns=b_ns, b_c=b_c,
+                a2_pred=a2_pred, a2_p1=a2_p1, a2_p2=a2_p2,
+                b_p1=b_p1, b_p2=b_p2)
 
 
 def _make_kernel_v4(t_train: int, l_win: int, tile_n: int,
@@ -285,6 +313,488 @@ def map_windowed_pallas_r4(
         interpret=interpret,
     )(gs_ext, gp_ext, a_init, b_init)
     return out[:, :n]
+
+
+def _make_kernel_v5(t_train: int, l_win: int, tile_n: int,
+                    nof_b: int, nof_w: int, unroll: int):
+    """Sweep-only radix-4 kernel: interleaved alpha+beta chains, LLRs off.
+
+    The v4 kernel's beta body carries ~2x the ops of a pure sweep because
+    the LLR emission (two emits + two radix-2 recomputes per iteration)
+    rides the serial dependence chain, and the whole program is one chain
+    so the VPU's issue slots sit idle waiting on it.  v5 restructures:
+
+    - the kernel runs ONLY the two radix-4 recursions, *interleaved in one
+      loop* — alpha sweeps forward while beta sweeps backward, two
+      independent dependence chains for the VLIW scheduler to overlap;
+    - it stores the even-k alpha (k_rel = 0,2,..,L-2) and even-k beta
+      (k_rel = 2,4,..,L) metrics as kernel *outputs*; the LLR emission —
+      embarrassingly parallel across trellis positions — happens afterwards
+      in plain XLA at full VPU width (ops/turbo.py `_emit_llr_r4`);
+    - gamma rows are packed host-side as (S/2, 2, N) so one dynamic load
+      fetches both rows of a radix-4 step (every step's row pair is
+      (even, even+1) for even T/L), halving the dynamic-slice traffic that
+      Mosaic schedules poorly;
+    - metric normalisation subtracts the state-0 row (1 op) instead of the
+      max-reduce (4 ops); the constant cancels in the LLR differences.
+    """
+    r4 = _tables_r4()
+    a2_pred = [tuple(int(v) for v in r4["a2_pred"][:, j]) for j in range(4)]
+    a2_p1, a2_p2 = r4["a2_p1"], r4["a2_p2"]
+    b_ns = [tuple(int(v) for v in r4["b_ns"][:, j]) for j in range(4)]
+    b_p2 = r4["b_p2"]
+    t2, l2 = t_train // 2, l_win // 2
+    assert l2 % unroll == 0
+    tab = _tables()
+    par0, par1 = tab["par"][:, 0], tab["par"][:, 1]
+
+    def kernel(g2s, g2p, a0, b0, astore, bstore):
+        AP1 = [_const_col(a2_p1[:, j]) for j in range(4)]
+        AP2 = [_const_col(a2_p2[:, j]) for j in range(4)]
+        BP2 = [_const_col(b_p2[:, j]) for j in range(4)]
+        P0, P1 = _const_col(par0), _const_col(par1)
+
+        base = pl.program_id(0) * tile_n
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1) + base
+        m_a = lane >= nof_b  # train-freeze: window 0 (alpha)
+        m_b = lane < (nof_w - 1) * nof_b  # last window (beta)
+
+        def rows2(i):
+            # one load -> both gamma rows (2i, 2i+1) of each stream
+            gs = g2s[pl.ds(i, 1)]
+            gp = g2p[pl.ds(i, 1)]
+            return gs[0, 0:1, :], gp[0, 0:1, :], gs[0, 1:2, :], gp[0, 1:2, :]
+
+        def alpha_r4(alpha, g0s, g0p, g1s, g1p):
+            # path-labelled candidates j = (u1, u2): the u-part of the
+            # branch metric is a per-j shared row; only the parity masks
+            # are per-state.  4 restacks + 8 masked gp terms + 1 row add.
+            s11 = g0s + g1s
+            rows = (None, g1s, g0s, s11)  # u1*gs0 + u2*gs1 by j
+            cs = []
+            for j in range(4):
+                c = _restack(alpha, a2_pred[j]) \
+                    + (AP1[j] * g0p + AP2[j] * g1p)
+                if rows[j] is not None:
+                    c = c + rows[j]
+                cs.append(c)
+            new = jnp.maximum(jnp.maximum(cs[0], cs[1]),
+                              jnp.maximum(cs[2], cs[3]))
+            return new - new[0:1, :]
+
+        def beta_r4(beta, g0s, g0p, g1s, g1p):
+            # j = (u1, u2); par(s, u1) only depends on u1 -> 2 shared
+            # gp0 terms; par(ns(s,u1), u2) -> 4 per-j gp1 terms.
+            s11 = g0s + g1s
+            rows = (None, g1s, g0s, s11)
+            t1 = (P0 * g0p, P1 * g0p)
+            cs = []
+            for j in range(4):
+                c = _restack(beta, b_ns[j]) + (t1[j // 2] + BP2[j] * g1p)
+                if rows[j] is not None:
+                    c = c + rows[j]
+                cs.append(c)
+            new = jnp.maximum(jnp.maximum(cs[0], cs[1]),
+                              jnp.maximum(cs[2], cs[3]))
+            return new - new[0:1, :]
+
+        # ---- interleaved masked training --------------------------------
+        def train(i, carry):
+            alpha, beta = carry
+            na = alpha_r4(alpha, *rows2(i))
+            nb = beta_r4(beta, *rows2(l2 + t_train - 1 - i))
+            return (jnp.where(m_a, na, alpha), jnp.where(m_b, nb, beta))
+
+        alpha, beta = jax.lax.fori_loop(0, t2, train, (a0[:, :], b0[:, :]))
+
+        # ---- interleaved body storing even-k metrics --------------------
+        def body(jj, carry):
+            alpha, beta = carry
+            for u in range(unroll):
+                j = jj * unroll + u
+                astore[pl.ds(j, 1)] = alpha[None]
+                bstore[pl.ds(l2 - 1 - j, 1)] = beta[None]
+                alpha = alpha_r4(alpha, *rows2(t2 + j))
+                beta = beta_r4(beta, *rows2(t2 + l2 - 1 - j))
+            return alpha, beta
+
+        jax.lax.fori_loop(0, l2 // unroll, body, (alpha, beta))
+
+    return kernel
+
+
+def map_windowed_pallas_v5(
+    gs_ext: jnp.ndarray,  # (L+2T, N) shared gamma (systematic+apriori)
+    gp_ext: jnp.ndarray,  # (L+2T, N) shared parity gamma
+    a_init: jnp.ndarray,  # (8, N)
+    b_init: jnp.ndarray,  # (8, N)
+    t_train: int,
+    l_win: int,
+    nof_b: int,
+    nof_w: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sweep-only radix-4 path: returns (astore, bstore), each
+    (L/2, 8, N) — alpha at k_rel=2i / beta at k_rel=2i+2, lanes (W, B)."""
+    import os
+
+    steps, n = gs_ext.shape
+    assert steps == l_win + 2 * t_train
+    assert steps % 2 == 0
+    tile_n = int(os.environ.get("TURBO_TILE", "512"))
+    if interpret:
+        tile_n = min(tile_n, 256)
+    unroll = int(os.environ.get("TURBO_UNROLL", "4"))
+    if (l_win // 2) % unroll != 0:
+        unroll = 1
+    if n % tile_n != 0:
+        pad = tile_n - n % tile_n
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
+        gs_ext, gp_ext = padf(gs_ext), padf(gp_ext)
+        a_init, b_init = padf(a_init), padf(b_init)
+    np_ = gs_ext.shape[1]
+    g2s = gs_ext.reshape(steps // 2, 2, np_)
+    g2p = gp_ext.reshape(steps // 2, 2, np_)
+    grid = (np_ // tile_n,)
+    l2 = l_win // 2
+    spec_g = pl.BlockSpec((steps // 2, 2, tile_n), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_i = pl.BlockSpec((8, tile_n), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((l2, 8, tile_n), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    kernel = _make_kernel_v5(t_train, l_win, tile_n, nof_b, nof_w, unroll)
+    astore, bstore = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_g, spec_g, spec_i, spec_i],
+        out_specs=[spec_o, spec_o],
+        out_shape=[jax.ShapeDtypeStruct((l2, 8, np_), jnp.float32),
+                   jax.ShapeDtypeStruct((l2, 8, np_), jnp.float32)],
+        interpret=interpret,
+    )(g2s, g2p, a_init, b_init)
+    return astore[:, :, :n], bstore[:, :, :n]
+
+
+@functools.lru_cache(maxsize=1)
+def _tables_v6():
+    """Combo-row selectors for the states-as-registers (v6) kernel.
+
+    In v6 the 8 state metrics live in 8 separate kernel variables, so the
+    trellis 'permutation' is free (it is just which variable feeds which
+    max) and the per-(state, candidate) branch metric u*gs + p*gp reduces
+    to adding one of the precomputed rows {None, gs, gp, gs+gp}, selected
+    by a compile-time index."""
+    t = _tables()
+    ns, par = t["ns"], t["par"]
+    pred, pu, pp = t["pred"], t["pred_u"], t["pred_p"]
+    # alpha: candidate c of target s adds combo pu*1 + pp*2
+    a_src = [[int(pred[s, c]) for c in range(2)] for s in range(8)]
+    a_cmb = [[int(pu[s, c]) + 2 * int(pp[s, c]) for c in range(2)]
+             for s in range(8)]
+    # beta: candidate u of source s reads ns[s,u], adds u*gs + par*gp
+    b_src = [[int(ns[s, u]) for u in range(2)] for s in range(8)]
+    b_cmb = [[u + 2 * int(par[s, u]) for u in range(2)] for s in range(8)]
+    return dict(a_src=a_src, a_cmb=a_cmb, b_src=b_src, b_cmb=b_cmb)
+
+
+def _make_kernel_v6(t_train: int, l_win: int, tile_c: int,
+                    nof_b: int, nof_w: int, norm_every: int = 4):
+    """States-as-registers radix-2 kernel (the fast path).
+
+    Probe result (tools/turbo_probe6.py): the (8, N) sublane layout is
+    bound by the `_restack` state permutation — a skeleton with ONLY the
+    restack+max chain runs as slowly as the full ACS.  v6 eliminates
+    restacks entirely: the lane dim is folded to (8, N/8) full-density
+    tiles and each of the 8 state metrics is its own kernel variable, so
+    the predecessor wiring is static dataflow between variables, branch
+    metrics are one add of a precomputed row, and the VPU sees 16
+    independent dependence chains (8 states x fwd/bwd).
+    """
+    v6 = _tables_v6()
+    a_src, a_cmb = v6["a_src"], v6["a_cmb"]
+    b_src, b_cmb = v6["b_src"], v6["b_cmb"]
+    t2, l2 = t_train // 2, l_win // 2
+    s_all = l_win + 2 * t_train
+
+    def kernel(g, a0, b0, astore, bstore):
+        # g: (S, 2, 8, C) rows; [r, 0] = systematic(+apriori), [r, 1] = parity
+        col = jax.lax.broadcasted_iota(jnp.int32, (8, tile_c), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, tile_c), 0)
+        lane = sub * (pl.num_programs(0) * tile_c) + pl.program_id(0) * tile_c + col
+        m_a = lane >= nof_b  # train-freeze: window 0 (alpha)
+        m_b = lane < (nof_w - 1) * nof_b  # last window (beta)
+
+        def rows(r):
+            blk = g[pl.ds(r, 1)]  # (1, 2, 8, C)
+            gs = blk[0, 0]
+            gp = blk[0, 1]
+            return (None, gs, gp, gs + gp)
+
+        def astep(a, combos):
+            return [jnp.maximum(
+                a[a_src[s][0]] + combos[a_cmb[s][0]]
+                if a_cmb[s][0] else a[a_src[s][0]],
+                a[a_src[s][1]] + combos[a_cmb[s][1]]
+                if a_cmb[s][1] else a[a_src[s][1]],
+            ) for s in range(8)]
+
+        def bstep(b, combos):
+            return [jnp.maximum(
+                b[b_src[s][0]] + combos[b_cmb[s][0]]
+                if b_cmb[s][0] else b[b_src[s][0]],
+                b[b_src[s][1]] + combos[b_cmb[s][1]]
+                if b_cmb[s][1] else b[b_src[s][1]],
+            ) for s in range(8)]
+
+        def norm(x):
+            z = x[0]
+            return [v - z for v in x]
+
+        # ---- interleaved masked training (pairs of trellis steps) -------
+        def train(i, carry):
+            a, b = carry
+            na = astep(astep(a, rows(2 * i)), rows(2 * i + 1))
+            nb = bstep(bstep(b, rows(s_all - 1 - 2 * i)),
+                       rows(s_all - 2 - 2 * i))
+            a = [jnp.where(m_a, x, y) for x, y in zip(na, a)]
+            b = [jnp.where(m_b, x, y) for x, y in zip(nb, b)]
+            return a, b
+
+        a = [a0[s] for s in range(8)]
+        b = [b0[s] for s in range(8)]
+        a, b = jax.lax.fori_loop(0, t2, train, (a, b))
+
+        # ---- interleaved body: store even-k metrics, 2 steps per iter ---
+        def body(j, carry):
+            a, b = carry
+            for s in range(8):
+                astore[pl.ds(j, 1), s] = a[s][None]
+                bstore[pl.ds(l2 - 1 - j, 1), s] = b[s][None]
+            a = astep(astep(a, rows(t_train + 2 * j)),
+                      rows(t_train + 2 * j + 1))
+            b = bstep(bstep(b, rows(t_train + l_win - 1 - 2 * j)),
+                      rows(t_train + l_win - 2 - 2 * j))
+            a, b = norm(a), norm(b)
+            return a, b
+
+        jax.lax.fori_loop(0, l2, body, (a, b))
+
+    return kernel
+
+
+def _make_emit_kernel_v6(tile_c: int, j_blk: int):
+    """LLR emission for v6: states-as-registers, no restacks, fully
+    parallel across position pairs."""
+    t = _tables()
+    ns0 = [int(v) for v in t["ns"][:, 0]]
+    ns1 = [int(v) for v in t["ns"][:, 1]]
+    p0 = [int(v) for v in t["par"][:, 0]]
+    p1 = [int(v) for v in t["par"][:, 1]]
+    v6 = _tables_v6()
+    a_src, a_cmb = v6["a_src"], v6["a_cmb"]
+    b_src, b_cmb = v6["b_src"], v6["b_cmb"]
+
+    def kernel(g, ast, bst, out):
+        def treemax(xs):
+            while len(xs) > 1:
+                xs = [jnp.maximum(xs[i], xs[i + 1])
+                      for i in range(0, len(xs) - 1, 2)] + (
+                          [xs[-1]] if len(xs) % 2 else [])
+            return xs[0]
+
+        for j in range(j_blk):
+            ges, gep = g[j, 0, 0], g[j, 0, 1]
+            gos, gop = g[j, 1, 0], g[j, 1, 1]
+            ce = (None, ges, gep, ges + gep)
+            co = (None, gos, gop, gos + gop)
+            a_e = [ast[j, s] for s in range(8)]
+            b_e = [bst[j, s] for s in range(8)]
+            # odd-position metrics: one unnormalised radix-2 step each
+            a_o = [jnp.maximum(
+                a_e[a_src[s][0]] + ce[a_cmb[s][0]]
+                if a_cmb[s][0] else a_e[a_src[s][0]],
+                a_e[a_src[s][1]] + ce[a_cmb[s][1]]
+                if a_cmb[s][1] else a_e[a_src[s][1]],
+            ) for s in range(8)]
+            b_o = [jnp.maximum(
+                b_e[b_src[s][0]] + co[b_cmb[s][0]]
+                if b_cmb[s][0] else b_e[b_src[s][0]],
+                b_e[b_src[s][1]] + co[b_cmb[s][1]]
+                if b_cmb[s][1] else b_e[b_src[s][1]],
+            ) for s in range(8)]
+
+            def emit(a, b1, gsv, gpv):
+                bp = [b1[x] + gpv for x in range(8)]
+                m1 = treemax([a[s] + (bp if p1[s] else b1)[ns1[s]]
+                              for s in range(8)])
+                m0 = treemax([a[s] + (bp if p0[s] else b1)[ns0[s]]
+                              for s in range(8)])
+                return m1 + gsv - m0
+
+            out[j, 0] = emit(a_e, b_o, ges, gep)
+            out[j, 1] = emit(a_o, b_e, gos, gop)
+
+    return kernel
+
+
+def map_windowed_pallas_v6(
+    gs_ext: jnp.ndarray,  # (L+2T, N) shared gamma (systematic+apriori)
+    gp_ext: jnp.ndarray,  # (L+2T, N) shared parity gamma
+    a_init: jnp.ndarray,  # (8, N)
+    b_init: jnp.ndarray,  # (8, N)
+    t_train: int,
+    l_win: int,
+    nof_b: int,
+    nof_w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """States-as-registers path: sweep kernel + parallel emission.
+    Returns LLRs (L, N), lanes in the caller's order."""
+    import os
+
+    steps, n = gs_ext.shape
+    assert steps == l_win + 2 * t_train and steps % 2 == 0
+    # VMEM per tile: gamma (S,2,8,Tc) + astore/bstore (L/2,8,8,Tc) f32
+    # = 2.9 MB + 7.3 MB at Tc=256 — Tc=512 would exceed the ~16 MB VMEM
+    tile_c = int(os.environ.get("TURBO_TILE_C", "256"))
+    if interpret:
+        tile_c = min(tile_c, 128)
+    j_blk = int(os.environ.get("TURBO_EMIT_BLK", "8"))
+    l2 = l_win // 2
+    while l2 % j_blk != 0:
+        j_blk //= 2
+    fold = 8 * tile_c
+    if n % fold != 0:
+        pad = fold - n % fold
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
+        gs_ext, gp_ext = padf(gs_ext), padf(gp_ext)
+        a_init, b_init = padf(a_init), padf(b_init)
+    np_ = gs_ext.shape[1]
+    c = np_ // 8
+    # fold lanes: (..., N) -> (..., 8, C) row-major; in-kernel masks use
+    # lane = sub*C + col
+    g = jnp.stack([gs_ext.reshape(steps, 8, c),
+                   gp_ext.reshape(steps, 8, c)], axis=1)  # (S, 2, 8, C)
+    a0 = a_init.reshape(8, 8, c)
+    b0 = b_init.reshape(8, 8, c)
+
+    grid = (c // tile_c,)
+    spec_g = pl.BlockSpec((steps, 2, 8, tile_c), lambda i: (0, 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_i = pl.BlockSpec((8, 8, tile_c), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_m = pl.BlockSpec((l2, 8, 8, tile_c), lambda i: (0, 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    kernel = _make_kernel_v6(t_train, l_win, tile_c, nof_b, nof_w)
+    astore, bstore = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_g, spec_i, spec_i],
+        out_specs=[spec_m, spec_m],
+        out_shape=[jax.ShapeDtypeStruct((l2, 8, 8, c), jnp.float32)] * 2,
+        interpret=interpret,
+    )(g, a0, b0)
+
+    # body gamma pairs for emission: (l2, 2 pos-parity, 2 stream, 8, C)
+    gb = g[t_train:t_train + l_win].reshape(l2, 2, 2, 8, c)
+    spec_ge = pl.BlockSpec((j_blk, 2, 2, 8, tile_c),
+                           lambda j, i: (j, 0, 0, 0, i),
+                           memory_space=pltpu.VMEM)
+    spec_me = pl.BlockSpec((j_blk, 8, 8, tile_c),
+                           lambda j, i: (j, 0, 0, i),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_emit_kernel_v6(tile_c, j_blk),
+        grid=(l2 // j_blk, c // tile_c),
+        in_specs=[spec_ge, spec_me, spec_me],
+        out_specs=pl.BlockSpec((j_blk, 2, 8, tile_c),
+                               lambda j, i: (j, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l2, 2, 8, c), jnp.float32),
+        interpret=interpret,
+    )(gb, astore, bstore)
+    return out.reshape(l_win, np_)[:, :n]
+
+
+def _make_emit_kernel(tile_n: int, j_blk: int):
+    """Parallel LLR emission: one grid cell per (j_blk even-position pairs,
+    lane tile), no serial chain anywhere — the per-position work items are
+    independent, so Mosaic pipelines them at issue width instead of riding
+    the ACS recursion like the v4 in-loop emission did."""
+    tab = _tables()
+    pred0 = tuple(int(v) for v in tab["pred"][:, 0])
+    pred1 = tuple(int(v) for v in tab["pred"][:, 1])
+    u0v, u1v = tab["pred_u"][:, 0], tab["pred_u"][:, 1]
+    q0v, q1v = tab["pred_p"][:, 0], tab["pred_p"][:, 1]
+    ns0 = tuple(int(v) for v in tab["ns"][:, 0])
+    ns1 = tuple(int(v) for v in tab["ns"][:, 1])
+    p0v, p1v = tab["par"][:, 0], tab["par"][:, 1]
+
+    def kernel(g2s, g2p, ast, bst, out):
+        U0, U1 = _const_col(u0v), _const_col(u1v)
+        Q0, Q1 = _const_col(q0v), _const_col(q1v)
+        P0, P1 = _const_col(p0v), _const_col(p1v)
+        for j in range(j_blk):
+            ges, gos = g2s[j, 0:1, :], g2s[j, 1:2, :]
+            gep, gop = g2p[j, 0:1, :], g2p[j, 1:2, :]
+            a_e = ast[j]
+            b_e = bst[j]  # beta at the odd position + 1
+            # odd-position metrics: one unnormalised radix-2 step each
+            a_o = jnp.maximum(_restack(a_e, pred0) + U0 * ges + Q0 * gep,
+                              _restack(a_e, pred1) + U1 * ges + Q1 * gep)
+            b_o = jnp.maximum(_restack(b_e, ns0) + P0 * gop,
+                              _restack(b_e, ns1) + gos + P1 * gop)
+
+            t0 = a_e + _restack(b_o, ns0) + P0 * gep
+            t1 = a_e + _restack(b_o, ns1) + P1 * gep
+            out[j, 0:1, :] = (jnp.max(t1, axis=0, keepdims=True) + ges
+                              - jnp.max(t0, axis=0, keepdims=True))
+            t0 = a_o + _restack(b_e, ns0) + P0 * gop
+            t1 = a_o + _restack(b_e, ns1) + P1 * gop
+            out[j, 1:2, :] = (jnp.max(t1, axis=0, keepdims=True) + gos
+                              - jnp.max(t0, axis=0, keepdims=True))
+
+    return kernel
+
+
+def emit_llr_pallas(g2s, g2p, astore, bstore, interpret: bool = False):
+    """LLRs from stored even-k metrics (v5 path).
+
+    g2s/g2p: (L/2, 2, N) body gamma row pairs; astore: (L/2, 8, N) alpha
+    at k_rel=2j; bstore: (L/2, 8, N) beta at k_rel=2j+2.  Returns
+    (L/2, 2, N) LLRs (reshapeable to (L, N))."""
+    import os
+
+    l2, _, n = g2s.shape
+    tile_n = int(os.environ.get("TURBO_TILE", "512"))
+    j_blk = int(os.environ.get("TURBO_EMIT_BLK", "8"))
+    while l2 % j_blk != 0:
+        j_blk //= 2
+    if interpret:
+        tile_n = min(tile_n, 256)
+    if n % tile_n != 0:
+        pad = tile_n - n % tile_n
+        g2s = jnp.pad(g2s, ((0, 0), (0, 0), (0, pad)))
+        g2p = jnp.pad(g2p, ((0, 0), (0, 0), (0, pad)))
+        astore = jnp.pad(astore, ((0, 0), (0, 0), (0, pad)))
+        bstore = jnp.pad(bstore, ((0, 0), (0, 0), (0, pad)))
+    np_ = g2s.shape[2]
+    grid = (l2 // j_blk, np_ // tile_n)
+    spec_g = pl.BlockSpec((j_blk, 2, tile_n), lambda j, i: (j, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_m = pl.BlockSpec((j_blk, 8, tile_n), lambda j, i: (j, 0, i),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_emit_kernel(tile_n, j_blk),
+        grid=grid,
+        in_specs=[spec_g, spec_g, spec_m, spec_m],
+        out_specs=pl.BlockSpec((j_blk, 2, tile_n), lambda j, i: (j, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l2, 2, np_), jnp.float32),
+        interpret=interpret,
+    )(g2s, g2p, astore, bstore)
+    return out[:, :, :n]
 
 
 def _make_kernel_v3(t_train: int, l_win: int, tile_n: int):
