@@ -8,7 +8,8 @@ vs_baseline is measured against the reference's MEASURED host-aggregate
 throughput at the same configuration: 8,790 subframes/s (pdsch_test
 -n 100 -m 28, noiseless + CRC early stop, 2 processes saturating this
 host's 2 AVX-512 cores — BASELINE.md "Measured reference baseline").
-Current: 10,771 sf/s on one v5e chip = 1.23x the whole reference host.
+Current: 14,787 sf/s on one v5e chip = 1.68x the whole reference host
+(TURBO_KERNEL=v4 default, round 4).
 
 Prints exactly ONE JSON line on stdout; details go to stderr.
 """
@@ -29,9 +30,25 @@ def main() -> None:
     if mode == "mimo":
         return main_mimo()
     if mode == "both":
-        # one driver invocation records BOTH lanes: the 2x2 MIMO line
-        # first, the SISO headline (parsed as the last JSON line) second
-        main_mimo()
+        # One driver invocation records BOTH lanes: the 2x2 MIMO line
+        # first, the SISO headline (parsed as the last JSON line) second.
+        # The MIMO lane runs in a watchdog subprocess: its axon AOT
+        # compile can take tens of minutes on this rig, and the headline
+        # must land even if it stalls (round-3 lesson: never let a
+        # secondary lane take down the official number).
+        import subprocess
+
+        budget = float(os.environ.get("BENCH_MIMO_TIMEOUT_S", "2400"))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=dict(os.environ, BENCH_MODE="mimo"),
+                timeout=budget, capture_output=True, text=True)
+            sys.stderr.write(r.stderr)
+            sys.stdout.write(r.stdout)
+        except subprocess.TimeoutExpired:
+            print(f"bench-mimo: SKIPPED (compile exceeded {budget:.0f}s "
+                  "watchdog)", file=sys.stderr)
     import jax
     import jax.numpy as jnp
 

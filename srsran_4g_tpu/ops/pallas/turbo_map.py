@@ -330,7 +330,7 @@ def _make_kernel_v5(t_train: int, l_win: int, tile_n: int,
     - it stores the even-k alpha (k_rel = 0,2,..,L-2) and even-k beta
       (k_rel = 2,4,..,L) metrics as kernel *outputs*; the LLR emission —
       embarrassingly parallel across trellis positions — happens afterwards
-      in plain XLA at full VPU width (ops/turbo.py `_emit_llr_r4`);
+      in the `emit_llr_pallas` kernel below at full VPU width;
     - gamma rows are packed host-side as (S/2, 2, N) so one dynamic load
       fetches both rows of a radix-4 step (every step's row pair is
       (even, even+1) for even T/L), halving the dynamic-slice traffic that
@@ -444,7 +444,7 @@ def map_windowed_pallas_v5(
     tile_n = int(os.environ.get("TURBO_TILE", "512"))
     if interpret:
         tile_n = min(tile_n, 256)
-    unroll = int(os.environ.get("TURBO_UNROLL", "4"))
+    unroll = max(1, int(os.environ.get("TURBO_UNROLL", "4")))
     if (l_win // 2) % unroll != 0:
         unroll = 1
     if n % tile_n != 0:
@@ -499,7 +499,7 @@ def _tables_v6():
 
 
 def _make_kernel_v6(t_train: int, l_win: int, tile_c: int,
-                    nof_b: int, nof_w: int, norm_every: int = 4):
+                    nof_b: int, nof_w: int):
     """States-as-registers radix-2 kernel (the fast path).
 
     Probe result (tools/turbo_probe6.py): the (8, N) sublane layout is
@@ -583,7 +583,7 @@ def _make_kernel_v6(t_train: int, l_win: int, tile_c: int,
     return kernel
 
 
-def _make_emit_kernel_v6(tile_c: int, j_blk: int):
+def _make_emit_kernel_v6(j_blk: int):
     """LLR emission for v6: states-as-registers, no restacks, fully
     parallel across position pairs."""
     t = _tables()
@@ -655,13 +655,21 @@ def map_windowed_pallas_v6(
 
     steps, n = gs_ext.shape
     assert steps == l_win + 2 * t_train and steps % 2 == 0
-    # VMEM per tile: gamma (S,2,8,Tc) + astore/bstore (L/2,8,8,Tc) f32
-    # = 2.9 MB + 7.3 MB at Tc=256 — Tc=512 would exceed the ~16 MB VMEM
-    tile_c = int(os.environ.get("TURBO_TILE_C", "256"))
+    l2 = l_win // 2
+    tile_c = max(8, int(os.environ.get("TURBO_TILE_C", "256")))
+    # Mosaic double-buffers every block DMA, so the scoped-VMEM footprint is
+    # ~2x the per-tile block bytes: gamma (S,2,8,Tc) + 2 inits (8,8,Tc) +
+    # astore/bstore (L/2,8,8,Tc), all f32.  Clamp Tc so 2x fits the 16 MB
+    # scoped-VMEM limit — this is the exact failure that crashed round 3's
+    # bench (19.75 MB > 16 MB at Tc=256, L=192).
+    vmem_budget = 15 * 1024 * 1024
+    def _tile_bytes(tc):
+        return 4 * tc * (steps * 2 * 8 + 2 * 8 * 8 + 2 * l2 * 8 * 8)
+    while tile_c > 8 and 2 * _tile_bytes(tile_c) > vmem_budget:
+        tile_c //= 2
     if interpret:
         tile_c = min(tile_c, 128)
-    j_blk = int(os.environ.get("TURBO_EMIT_BLK", "8"))
-    l2 = l_win // 2
+    j_blk = max(1, int(os.environ.get("TURBO_EMIT_BLK", "8")))
     while l2 % j_blk != 0:
         j_blk //= 2
     fold = 8 * tile_c
@@ -705,7 +713,7 @@ def map_windowed_pallas_v6(
                            lambda j, i: (j, 0, 0, i),
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_emit_kernel_v6(tile_c, j_blk),
+        _make_emit_kernel_v6(j_blk),
         grid=(l2 // j_blk, c // tile_c),
         in_specs=[spec_ge, spec_me, spec_me],
         out_specs=pl.BlockSpec((j_blk, 2, 8, tile_c),
@@ -768,7 +776,7 @@ def emit_llr_pallas(g2s, g2p, astore, bstore, interpret: bool = False):
 
     l2, _, n = g2s.shape
     tile_n = int(os.environ.get("TURBO_TILE", "512"))
-    j_blk = int(os.environ.get("TURBO_EMIT_BLK", "8"))
+    j_blk = max(1, int(os.environ.get("TURBO_EMIT_BLK", "8")))
     while l2 % j_blk != 0:
         j_blk //= 2
     if interpret:
@@ -1082,7 +1090,7 @@ def map_windowed_pallas(
         scratch = [pltpu.VMEM((l_win, 8, tile_n), dtype)]
     else:
         dtype = jnp.float32
-        unroll = int(os.environ.get("TURBO_UNROLL", "4"))
+        unroll = max(1, int(os.environ.get("TURBO_UNROLL", "4")))
         if l_win % unroll != 0:
             unroll = 1
         kernel = _make_kernel(t_train, l_win, unroll=unroll)

@@ -349,54 +349,6 @@ def _map_windowed(lsa, lp, tail_sys, tail_par, win_len, train_len):
     return llr.reshape(batch + (k,))
 
 
-def _emit_llr_r4(astore, bstore, gs_ext, gp_ext, t, l):
-    """Parallel LLR emission for the v5 sweep-only kernel.
-
-    astore/bstore: (L/2, 8, N) — alpha at k_rel=2j / beta at k_rel=2j+2.
-    The odd-position metrics are one unnormalised radix-2 step from the
-    stored even ones; everything is elementwise over (L/2, 8, N) with a
-    max-reduce over the state axis — no serial chain, so XLA runs it at
-    full VPU width while the next kernel call's DMA streams in.
-    """
-    tab = _trellis()
-    ns0 = jnp.asarray(tab["ns"][:, 0])
-    ns1 = jnp.asarray(tab["ns"][:, 1])
-    p0 = jnp.asarray(tab["par"][:, 0], jnp.float32)[None, :, None]
-    p1 = jnp.asarray(tab["par"][:, 1], jnp.float32)[None, :, None]
-    pred0 = jnp.asarray(tab["pred"][:, 0])
-    pred1 = jnp.asarray(tab["pred"][:, 1])
-    u0 = jnp.asarray(tab["pred_u"][:, 0], jnp.float32)[None, :, None]
-    u1 = jnp.asarray(tab["pred_u"][:, 1], jnp.float32)[None, :, None]
-    q0 = jnp.asarray(tab["pred_p"][:, 0], jnp.float32)[None, :, None]
-    q1 = jnp.asarray(tab["pred_p"][:, 1], jnp.float32)[None, :, None]
-
-    body_s = gs_ext[t:t + l]
-    body_p = gp_ext[t:t + l]
-    ge_s = body_s[0::2][:, None, :]  # (L/2, 1, N) gamma at even k_rel
-    ge_p = body_p[0::2][:, None, :]
-    go_s = body_s[1::2][:, None, :]
-    go_p = body_p[1::2][:, None, :]
-
-    # odd-position metrics (normalisation constants cancel in the LLR)
-    a_odd = jnp.maximum(
-        astore[:, pred0, :] + u0 * ge_s + q0 * ge_p,
-        astore[:, pred1, :] + u1 * ge_s + q1 * ge_p,
-    )
-    b_odd = jnp.maximum(
-        bstore[:, ns0, :] + p0 * go_p,
-        bstore[:, ns1, :] + go_s + p1 * go_p,
-    )
-
-    def emit(a, b1, gs, gp):
-        m0 = jnp.max(a + b1[:, ns0, :] + p0 * gp, axis=1)
-        m1 = jnp.max(a + b1[:, ns1, :] + p1 * gp, axis=1)
-        return m1 + gs[:, 0, :] - m0
-
-    llr_even = emit(astore, b_odd, ge_s, ge_p)
-    llr_odd = emit(a_odd, bstore, go_s, go_p)
-    return jnp.stack([llr_even, llr_odd], axis=1).reshape(l, -1)
-
-
 def _map_windowed_pl_r4(lsa, lp, tail_sys, tail_par, win_len, train_len,
                         interpret=False, version="v5"):
     """Radix-4 Pallas path: one shared (L+2T)-row gamma pair in (W, B)
@@ -458,7 +410,12 @@ def _map_windowed_pl(lsa, lp, tail_sys, tail_par, win_len, train_len,
     `_map_windowed`, sequential work moved into one Mosaic program)."""
     import os
 
-    kern_ver = os.environ.get("TURBO_KERNEL", "v6")
+    # Default kernel: v4 (single-chain radix-4 with fused emission) — the
+    # fastest *verified* kernel at the bench shape (14,424 sf/s on v5e-1).
+    # v5/v6 are opt-in via TURBO_KERNEL until their sweep kernels beat v4
+    # at bench scale (v6's split emission measured slower at tile_c=128 and
+    # OOMs scoped VMEM at tile_c=256; see tools/tpu_smoke.py gate).
+    kern_ver = os.environ.get("TURBO_KERNEL", "v4")
     if (kern_ver in ("v4", "v5", "v6") and win_len % 2 == 0
             and train_len % 2 == 0 and train_len >= 2):
         return _map_windowed_pl_r4(lsa, lp, tail_sys, tail_par, win_len,

@@ -16,8 +16,23 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The axon TPU plugin in this environment ignores JAX_PLATFORMS set after
 # interpreter start; force the CPU backend through the config as well.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled-executable caches after each test module.
+
+    A full-suite run accumulates thousands of jitted programs (the E2E
+    tests alone jit per (config, subframe, softbuffer) key); with all of
+    them live in one process, XLA:CPU eventually segfaults inside
+    backend_compile_and_load (~462 tests in).  Per-module clearing keeps
+    the working set bounded without re-compiling within a module.
+    """
+    yield
+    jax.clear_caches()

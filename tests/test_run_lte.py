@@ -23,6 +23,18 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_test():
+    """Each E2E run jits its own (PRB-config, subframe) shapes — nothing is
+    reused across parametrized points, but everything stays live and the
+    accumulated executables eventually segfault XLA:CPU mid-suite (round-3
+    Weak #2).  Clear after every test in this module."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 def _run(prb: int, ues: int, ttis: int, pings: int = 2):
     import run_lte
 

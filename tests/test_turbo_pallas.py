@@ -1,13 +1,22 @@
-"""Pallas BCJR kernel vs XLA scan path parity (interpreter mode on CPU)."""
+"""Pallas BCJR kernel vs XLA scan path parity (interpreter mode on CPU).
+
+Every selectable TURBO_KERNEL version is exercised (v4/v5/v6) so that a
+default-kernel flip cannot ship untested — the round-3 regression where
+the v6 default crashed bench.py while only v4 had coverage.
+"""
 
 import numpy as np
 import pytest
 
 from srsran_4g_tpu.ops import turbo
 
+KERNELS = ["v4", "v5", "v6"]
 
+
+@pytest.mark.parametrize("kernel", KERNELS)
 @pytest.mark.parametrize("k,l,t", [(512, 64, 32), (256, 64, 16)])
-def test_pallas_matches_xla(k, l, t):
+def test_pallas_matches_xla(k, l, t, kernel, monkeypatch):
+    monkeypatch.setenv("TURBO_KERNEL", kernel)
     rng = np.random.default_rng(k)
     b = 3
     bits = rng.integers(0, 2, size=(b, k)).astype(np.int8)
@@ -21,7 +30,9 @@ def test_pallas_matches_xla(k, l, t):
     np.testing.assert_array_equal(np.asarray(h_p), np.asarray(h_x))
 
 
-def test_pallas_decodes_awgn():
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_pallas_decodes_awgn(kernel, monkeypatch):
+    monkeypatch.setenv("TURBO_KERNEL", kernel)
     rng = np.random.default_rng(1)
     k, b = 512, 4
     bits = rng.integers(0, 2, size=(b, k)).astype(np.int8)

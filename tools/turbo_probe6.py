@@ -1,7 +1,7 @@
 """Probe: what actually bounds the windowed ACS kernel?
 
 Three micro-kernels over the bench-shaped lane set (86528 lanes x 144
-radix-4 steps), no LLR emission:
+trellis steps = 72 radix-4 steps), no LLR emission:
 
   full  - the v5 radix-4 ACS pair (alpha+beta interleaved) with real
           gamma row loads and masked-metric arithmetic
