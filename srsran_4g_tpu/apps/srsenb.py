@@ -1,0 +1,163 @@
+"""srsENB process: eNB stack + TPU PHY behind real transports.
+
+The framework's counterpart of `srsenb/src/enb.cc:74` + `main.cc`: a
+standalone eNodeB process that
+  * streams DL IQ subframes to the UE over the native TCP sample bridge
+    (`native/runtime.cc` rt_bridge — the reference's ZMQ virtual radio,
+    `rf_zmq_imp.c`, sample count = clock) and reads the UE's UL stream,
+  * connects S1AP to the EPC over TCP carrying the 3GPP-exact
+    aligned-PER encodings (`stack/s1ap_per.py`; reference `s1ap.cc`
+    SCTP), 4-byte length framing,
+  * carries S1-U user-plane packets over GTP-U/UDP (`gtpu.cc`).
+
+PRACH preambles arrive inside the UL sample stream and are detected by
+FFT correlation at the RA occasions (`prach_worker.cc` analog).
+
+Prints one final line `RESULT {json}`.
+
+Usage: python -m srsran_4g_tpu.apps.srsenb --dl-port 45201 \
+           --ul-port 45202 --epc-addr 127.0.0.1 --ttis 480
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socket
+import struct
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="TPU-native srsENB")
+    ap.add_argument("--config", default=None, help="INI config (enb.conf)")
+    ap.add_argument("--dl-port", type=int, default=45201,
+                    help="IQ bridge port this eNB serves DL samples on")
+    ap.add_argument("--ul-port", type=int, default=45202,
+                    help="IQ bridge port the UE serves UL samples on")
+    ap.add_argument("--ue-addr", default="127.0.0.1")
+    ap.add_argument("--epc-addr", default="127.0.0.1")
+    ap.add_argument("--s1ap-port", type=int, default=36412)
+    ap.add_argument("--gtpu-port", type=int, default=2152)
+    ap.add_argument("--prb", type=int, default=None)
+    ap.add_argument("--snr", type=float, default=30.0)
+    ap.add_argument("--ttis", type=int, default=480)
+    ap.add_argument("--ues", type=int, default=1,
+                    help="expected UE count (bounds PRACH scanning)")
+    ap.add_argument("-v", action="store_true")
+    args = ap.parse_args(argv)
+
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srsran_4g_tpu.apps.nodes import EnbNode
+    from srsran_4g_tpu.config import load_config
+    from srsran_4g_tpu.runtime.lte_air import LteAirPhy
+    from srsran_4g_tpu.runtime.native import IqBridgeRx, IqBridgeTx
+    from srsran_4g_tpu.stack import gtpu as GU
+
+    cfg = load_config(args.config)
+    nof_prb = args.prb if args.prb is not None else cfg.cell.nof_prb
+    log = (lambda *a: print(*a, flush=True)) if args.v else (lambda *a: None)
+
+    stats = {"prach": 0, "pdsch_ko": 0, "pusch_ko": 0, "pdsch_tx": 0,
+             "pusch_tx": 0, "dci_tx": 0, "dl_ping_rx": 0, "ul_ping_rx": 0,
+             "phich_ack": 0, "phich_nack": 0}
+    air = LteAirPhy(nof_prb=nof_prb, cell_id=cfg.cell.cell_id,
+                    snr_db=args.snr)
+
+    # ---- S1AP over TCP (framed aligned-PER PDUs) -------------------------
+    s1 = socket.create_connection((args.epc_addr, args.s1ap_port),
+                                  timeout=30)
+    s1.setblocking(False)
+    s1_buf = bytearray()
+
+    def tx_s1ap(pdu: bytes) -> None:
+        s1.sendall(struct.pack(">I", len(pdu)) + pdu)
+
+    # ---- GTP-U over UDP ---------------------------------------------------
+    gtpu = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    gtpu.bind(("127.0.0.1", 0))
+    gtpu.setblocking(False)
+    epc_gtpu = (args.epc_addr, args.gtpu_port)
+    # announce the S1-U endpoint (echo request; gtpu.cc echo handling)
+    gtpu.sendto(GU.pack(GU.GtpuHeader(teid=0,
+                                      msg_type=GU.GTPU_MSG_ECHO_REQUEST),
+                        b""), epc_gtpu)
+
+    def s1u_tx(teid: int, pkt: bytes) -> None:
+        gtpu.sendto(GU.pack(GU.GtpuHeader(teid=teid), pkt), epc_gtpu)
+
+    enb = EnbNode(air, stats, log, tx_s1ap=tx_s1ap, s1u_tx=s1u_tx)
+    enb.rrc.s1_setup()
+
+    # ---- IQ bridges: serve DL first, then connect to the UE's UL --------
+    dl_tx = IqBridgeTx(args.dl_port)
+    print(f"srsenb: waiting for UE on IQ port {args.dl_port}", flush=True)
+    dl_tx.accept()
+    ul_rx = None
+    for _ in range(300):              # the UE binds its UL port right after
+        try:
+            ul_rx = IqBridgeRx(args.ue_addr, args.ul_port, timeout_ms=60000)
+            break
+        except OSError:
+            time.sleep(0.1)
+    if ul_rx is None:
+        print("srsenb: UL bridge connect failed", flush=True)
+        return 1
+    print("srsenb: IQ bridges up", flush=True)
+
+    sf_len = air.ofdm.sf_len
+    for tti in range(args.ttis):
+        enb.tick()
+        # control/user-plane ingress
+        try:
+            s1_buf += s1.recv(65536)
+        except BlockingIOError:
+            pass
+        while len(s1_buf) >= 4:
+            n = struct.unpack(">I", bytes(s1_buf[:4]))[0]
+            if len(s1_buf) < 4 + n:
+                break
+            enb.rx_s1ap(bytes(s1_buf[4:4 + n]))
+            del s1_buf[:4 + n]
+        while True:
+            try:
+                raw, _ = gtpu.recvfrom(65536)
+            except BlockingIOError:
+                break
+            hdr, payload = GU.unpack(raw)
+            if hdr.msg_type == GU.GTPU_MSG_DATA_PDU:
+                enb.rx_s1u(hdr.teid, payload)
+
+        dl_samples, _ = enb.step_dl(tti)
+        dl_tx.send(np.asarray(dl_samples)[0])
+        ul = ul_rx.read(sf_len)[None, :]
+        # RA occasions: preambles ride the UL sample stream
+        got_prach = False
+        if tti % 10 == 2 and len(enb.pucch_res) < args.ues:
+            det = air.prach_rx(ul)
+            if det is not None:
+                enb.rach_detected(tti, det)
+                got_prach = True
+        if enb.need_ul() and not got_prach:
+            enb.rx_ul(tti, jnp.asarray(ul))
+
+    dl_tx.close()
+    ul_rx.close()
+    s1.close()
+    gtpu.close()
+    stats["dl_retx"] = enb.mac.metrics["dl_retx"]
+    print("RESULT " + json.dumps(stats), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -509,6 +509,50 @@ class LteAirPhy:
 
     # -- PRACH ---------------------------------------------------------------------
 
+    def prach_tx_samples(self, preamble_idx: int) -> np.ndarray:
+        """UE-side PRACH for the sample-stream (multi-process) deployment:
+        normalised noisy preamble padded to one subframe of samples
+        (the three-process analog of `prach`; prach.c preamble gen)."""
+        jnp = self.jax.numpy
+
+        def build():
+            def f(pre_t, key):
+                from srsran_4g_tpu.channel.awgn import awgn
+
+                pre_t = pre_t / jnp.sqrt(jnp.mean(jnp.abs(pre_t) ** 2))
+                return awgn(key, pre_t[None, :], self.nv)
+            return f
+
+        pre = prach_mod.generate(self.prach_cfg, preamble_idx)
+        noisy = np.asarray(self._fn(("prach_tx", pre.shape[0]), build)(
+            pre, self.key()))
+        out = np.zeros((1, self.ofdm.sf_len), np.complex64)
+        n = min(noisy.shape[1], self.ofdm.sf_len)
+        out[:, :n] = noisy[:, :n]
+        return out
+
+    def prach_rx(self, samples) -> int | None:
+        """eNB-side PRACH correlation on one UL subframe of samples
+        (prach_worker.cc FFT correlation off the fast path)."""
+        cfg = self.prach_cfg
+        n_pre = cfg.cp_len + cfg.seq_len_samples
+
+        def build():
+            def f(rx):
+                det = prach_mod.detect(cfg, rx)
+                return det["detected"][0], det["power"][0]
+            return f
+
+        sl = np.asarray(samples)[:, :n_pre]
+        # energy gate: an idle (zero/PUCCH-only) subframe must not reach
+        # the correlator with pathological normalisation
+        if float(np.mean(np.abs(sl) ** 2)) < 1e-6:
+            return None
+        det, power = self._fn(("prach_det",), build)(self.jax.numpy.asarray(sl))
+        if not np.asarray(det).any():
+            return None
+        return int(np.asarray(power).argmax())
+
     def prach(self, preamble_idx: int) -> int | None:
         """UE preamble TX → eNB detect; returns detected index or None."""
         jnp = self.jax.numpy
