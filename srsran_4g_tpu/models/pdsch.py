@@ -148,6 +148,7 @@ def decode(
     softbuffers: dict | None = None,
     n_iter: int = 5,
     chest_cfg: chest_mod.ChestConfig | None = None,
+    cb_shard: tuple[str, int] | None = None,
 ) -> dict:
     """Decode PDSCH from a received resource grid.
 
@@ -198,7 +199,8 @@ def decode(
         llr_scr.reshape(b, cfg.g_bits), jnp.asarray(cfg.scramble_seq)
     )
     bits, ok, soft = sch.dlsch_decode(
-        cfg.plan, llr, softbuffers=softbuffers, n_iter=n_iter
+        cfg.plan, llr, softbuffers=softbuffers, n_iter=n_iter,
+        cb_shard=cb_shard,
     )
     out.update(bits=bits, crc_ok=ok, softbuffers=soft, h=h, noise_var=noise_var)
     return out

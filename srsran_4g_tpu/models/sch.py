@@ -140,6 +140,7 @@ def dlsch_decode(
     n_iter: int = 5,
     window: int | None = 128,
     early_stop: bool = True,
+    cb_shard: tuple[str, int] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict[int, jnp.ndarray]]:
     """Decode transport blocks from codeword LLRs.
 
@@ -147,6 +148,11 @@ def dlsch_decode(
       llrs: (B, G) float32, positive ⇒ bit 1.
       softbuffers: per-CB-index (B, 3, K+4) accumulated LLRs from earlier
         HARQ transmissions (as returned by this function), or None.
+      cb_shard: optional (mesh_axis_name, axis_size) — inside `shard_map`,
+        split the stacked (B·C) code-block lanes of the dominant turbo
+        decode across that mesh axis (sp stream parallelism, SURVEY §2.7
+        P9) and `all_gather` the hard bits back, so no chip decodes
+        redundantly; results stay replicated over the axis.
 
     Returns:
       (tb_bits (B, tbs) int8, crc_ok (B,) bool, softbuffers dict).
@@ -177,9 +183,26 @@ def dlsch_decode(
         # one decoder call per size group over (B*count, 3, K+4)
         stacked = jnp.stack(d_group, axis=1).reshape(b * grp.count, 3, grp.K + 4)
         early = ("24B" if s.L_cb else "24A") if early_stop else None
-        hard, _ = turbo.turbo_decode(
-            stacked, n_iter=n_iter, window=window, early_crc=early
-        )
+        if cb_shard is not None:
+            import jax
+
+            axis, size = cb_shard
+            n_lanes = stacked.shape[0]
+            pad = (-n_lanes) % size
+            if pad:
+                stacked = jnp.pad(stacked, ((0, pad), (0, 0), (0, 0)))
+            loc = stacked.shape[0] // size
+            i = jax.lax.axis_index(axis)
+            sl = jax.lax.dynamic_slice_in_dim(stacked, i * loc, loc, 0)
+            hard_loc, _ = turbo.turbo_decode(
+                sl, n_iter=n_iter, window=window, early_crc=early
+            )
+            hard = jax.lax.all_gather(
+                hard_loc, axis, axis=0, tiled=True)[:n_lanes]
+        else:
+            hard, _ = turbo.turbo_decode(
+                stacked, n_iter=n_iter, window=window, early_crc=early
+            )
         hard = hard.reshape(b, grp.count, grp.K)
         for i in range(grp.count):
             bits = hard[:, i]

@@ -71,7 +71,10 @@ def make_pipeline_step(
         # ---- RX: sharded OFDM demod reassembles the grid over sp ----------
         rx_grid = stream.ofdm_demodulate_sharded(ofdm_cfg, noisy, "sp")
 
-        out = pdsch_mod.decode(cfg, rx_grid, n_iter=n_iter)
+        # the dominant turbo decode splits its code-block lanes over sp
+        # (all_gather'd back), so no chip decodes redundantly
+        out = pdsch_mod.decode(cfg, rx_grid, n_iter=n_iter,
+                               cb_shard=("sp", sp) if sp > 1 else None)
 
         bit_err = jnp.sum(out["bits"] != tb_bits) / sp  # sp-replicated
         blocks_ok = jnp.sum(out["crc_ok"]) / sp
