@@ -127,6 +127,9 @@ class UeNode:
         for g in grants:
             if self.mac.ra.rar_received(g, backoff):
                 self.crnti = g.temp_crnti
+                # 36.321 temp C-RNTI promotion: RRC learns the identity
+                # from MAC — ConnectionSetup does not carry it (36.331)
+                self.rrc.c_rnti = g.temp_crnti
                 st, ln, mcs, tbs = unpack_rar_ul_grant(
                     self.air.cell.nof_prb, g.ul_grant)
                 self._queue_pusch(tti + MSG3_DELAY, st, ln, mcs, tbs,

@@ -73,6 +73,33 @@ def _imsi_to_mobile_id(imsi: str) -> bytes:
     return bytes(out)
 
 
+def _apn_ie(apn: str) -> bytes:
+    """Access Point Name LV (24.008 10.5.6.1): total length, then each
+    dot-separated label as len+chars (liblte pack_access_point_name_ie)."""
+    out = bytearray([len(apn) + 1])
+    for label in apn.split("."):
+        out.append(len(label))
+        out += label.encode()
+    return bytes(out)
+
+
+def _apn_from_ie(value: bytes) -> str:
+    labels = []
+    pos = 0
+    while pos < len(value):
+        n = value[pos]
+        labels.append(value[pos + 1:pos + 1 + n].decode())
+        pos += 1 + n
+    return ".".join(labels)
+
+
+def _guti_ie_value(plmn: bytes, mmegi: int, mmec: int, mtmsi: int) -> bytes:
+    """EPS mobile identity value for a GUTI (24.301 9.9.3.12): 0xF6
+    (filler+type), PLMN, MME group id, MME code, M-TMSI — 11 bytes."""
+    return (bytes([0xF6]) + plmn + mmegi.to_bytes(2, "big")
+            + bytes([mmec]) + mtmsi.to_bytes(4, "big"))
+
+
 def _mobile_id_to_imsi(data: bytes) -> str:
     digits = [str(data[0] >> 4)]
     odd = bool(data[0] & 0x8)
@@ -221,24 +248,27 @@ class ActivateDefaultEpsBearerRequest:
     qci: int = 9
 
     def pack(self) -> bytes:
-        apn_b = self.apn.encode()
         out = bytearray([(self.eps_bearer_id << 4) | PD_ESM, self.pti,
-                         MSG_ACT_DEF_EPS_BEARER_REQ, self.qci,
-                         len(apn_b)])
-        out += apn_b
-        out += bytes([len(self.ip_addr) + 1, 0x01])  # PDN type IPv4
+                         MSG_ACT_DEF_EPS_BEARER_REQ])
+        out += bytes([1, self.qci])              # EPS QoS LV (qci only)
+        out += _apn_ie(self.apn)                 # APN LV (DNS labels)
+        out += bytes([len(self.ip_addr) + 1, 0x01])  # PDN address LV, IPv4
         out += self.ip_addr
         return bytes(out)
 
     @classmethod
     def unpack(cls, d: bytes) -> "ActivateDefaultEpsBearerRequest":
         assert d[0] & 0x0F == PD_ESM and d[2] == MSG_ACT_DEF_EPS_BEARER_REQ
-        n = d[4]
-        apn = d[5:5 + n].decode()
-        pos = 5 + n
+        pos = 3
+        nq = d[pos]
+        qci = d[pos + 1]
+        pos += 1 + nq
+        n = d[pos]
+        apn = _apn_from_ie(d[pos + 1:pos + 1 + n])
+        pos += 1 + n
         m = d[pos]
         ip = bytes(d[pos + 2:pos + 1 + m])
-        return cls(eps_bearer_id=d[0] >> 4, pti=d[1], qci=d[3], apn=apn,
+        return cls(eps_bearer_id=d[0] >> 4, pti=d[1], qci=qci, apn=apn,
                    ip_addr=ip)
 
 
@@ -298,9 +328,14 @@ class ActivateDedicatedEpsBearerAccept:
 @dataclass
 class AttachAccept:
     t3412_val: int = 30
-    tai_list: bytes = b"\x00\x00\xf1\x10\x00\x01"
+    # TAI list IE value (type-of-list byte + PLMN + TAC; 24.301 9.9.3.33,
+    # reference-canonical type = one-PLMN-non-consecutive-TACs)
+    tai_list: bytes = b"\x20\x00\xf1\x10\x00\x01"
     esm_msg: bytes = b""
     guti_mtmsi: int = 0
+    guti_plmn: bytes = b"\x00\xf1\x10"
+    guti_mmegi: int = 1
+    guti_mmec: int = 1
 
     def pack(self) -> bytes:
         out = bytearray([PD_EMM, MSG_ATTACH_ACCEPT, 0x01, self.t3412_val,
@@ -308,7 +343,10 @@ class AttachAccept:
         out += self.tai_list
         out += len(self.esm_msg).to_bytes(2, "big")
         out += self.esm_msg
-        out += bytes([0x50]) + self.guti_mtmsi.to_bytes(4, "big")
+        # GUTI IE (IEI 0x50, TLV): full 24.301 9.9.3.12 EPS mobile identity
+        guti = _guti_ie_value(self.guti_plmn, self.guti_mmegi,
+                              self.guti_mmec, self.guti_mtmsi)
+        out += bytes([0x50, len(guti)]) + guti
         return bytes(out)
 
     @classmethod
@@ -319,11 +357,16 @@ class AttachAccept:
         tai = bytes(d[pos:pos + n]); pos += n
         m = int.from_bytes(d[pos:pos + 2], "big"); pos += 2
         esm = bytes(d[pos:pos + m]); pos += m
-        mtmsi = 0
+        mtmsi, plmn, mmegi, mmec = 0, b"\x00\xf1\x10", 1, 1
         if pos < len(d) and d[pos] == 0x50:
-            mtmsi = int.from_bytes(d[pos + 1:pos + 5], "big")
+            g = d[pos + 2:pos + 2 + d[pos + 1]]
+            plmn = bytes(g[1:4])
+            mmegi = int.from_bytes(g[4:6], "big")
+            mmec = g[6]
+            mtmsi = int.from_bytes(g[7:11], "big")
         return cls(t3412_val=d[3], tai_list=tai, esm_msg=esm,
-                   guti_mtmsi=mtmsi)
+                   guti_mtmsi=mtmsi, guti_plmn=plmn, guti_mmegi=mmegi,
+                   guti_mmec=mmec)
 
 
 @dataclass
@@ -346,14 +389,30 @@ class AttachComplete:
 @dataclass
 class DetachRequest:
     switch_off: bool = True
+    guti_mtmsi: int = 0
+    guti_plmn: bytes = b"\x00\xf1\x10"
+    guti_mmegi: int = 1
+    guti_mmec: int = 1
 
     def pack(self) -> bytes:
+        # detach type (switch-off bit + EPS detach) | NAS KSI nibble,
+        # then the mandatory EPS mobile identity LV (GUTI; 24.301 8.2.11)
+        guti = _guti_ie_value(self.guti_plmn, self.guti_mmegi,
+                              self.guti_mmec, self.guti_mtmsi)
         return bytes([PD_EMM, MSG_DETACH_REQUEST,
-                      (0x8 if self.switch_off else 0) | 0x1])
+                      (0x8 if self.switch_off else 0) | 0x1,
+                      len(guti)]) + guti
 
     @classmethod
     def unpack(cls, d: bytes) -> "DetachRequest":
-        return cls(switch_off=bool(d[2] & 0x8))
+        out = cls(switch_off=bool(d[2] & 0x8))
+        if len(d) > 3:
+            g = d[4:4 + d[3]]
+            out.guti_plmn = bytes(g[1:4])
+            out.guti_mmegi = int.from_bytes(g[4:6], "big")
+            out.guti_mmec = g[6]
+            out.guti_mtmsi = int.from_bytes(g[7:11], "big")
+        return out
 
 
 @dataclass

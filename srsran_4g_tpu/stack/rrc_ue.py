@@ -76,7 +76,7 @@ class RrcUe:
 
     # -- connection establishment (connection_request_proc) ----------------
 
-    def connect(self, cause: int = 3) -> None:
+    def connect(self, cause: int = 4) -> None:  # mo-Data (36.331 enum)
         """Send RRCConnectionRequest on SRB0/CCCH; starts T300.
 
         When the UE camps on a cell (idle.serving_pci set), system
@@ -98,8 +98,10 @@ class RrcUe:
         msg = R.unpack_dl_ccch(pdu)
         if isinstance(msg, R.RrcConnectionReestablishment):
             # 36.331 5.3.7.5: back to CONNECTED with the existing keys;
-            # SRB1 PDCP is re-established (COUNTs continue in this model)
-            self.c_rnti = msg.rnti
+            # SRB1 PDCP is re-established (COUNTs continue in this model).
+            # The new C-RNTI is NOT in the message — the MAC provided it
+            # at the reestablishment RACH (temp C-RNTI promotion).
+            self.c_rnti = msg.rnti or self.c_rnti
             self.state = RRC_CONNECTED
             self.t311 = -1
             self.n310_count = 0
@@ -111,7 +113,8 @@ class RrcUe:
             self.events.append("reest_reject_to_idle")
             return
         if isinstance(msg, R.RrcConnectionSetup):
-            self.c_rnti = msg.rnti
+            # C-RNTI comes from the MAC RAR (36.321), not the message
+            self.c_rnti = msg.rnti or self.c_rnti
             self.t300 = -1
             self.state = RRC_CONNECTED
             self.pdcp[SRB1_LCID] = PdcpEntity(

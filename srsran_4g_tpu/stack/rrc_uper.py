@@ -99,9 +99,20 @@ def decode(spec, r: BitReader):
             out["_ext"] = groups
         return out
     if kind == "choice":
-        _, ext, alts = spec
+        ext, alts = spec[1], spec[2]
+        ext_alts = spec[3] if len(spec) > 3 else []
         if ext and r.get(1):
-            raise ValueError("extended choice not supported")
+            # X.691 §23.8: extended alternative = normally-small index,
+            # then the value as an open type
+            if r.get(1):
+                raise ValueError("large extended-choice index")
+            idx = r.get(6)
+            if idx >= len(ext_alts):
+                raise ValueError("unknown extended choice alternative")
+            name, aspec = ext_alts[idx]
+            blob = decode(("octets*",), r)
+            inner = BitReader(blob)
+            return (name, decode(aspec, inner))
         idx = r.get(_nbits(len(alts)))
         name, aspec = alts[idx]
         return (name, decode(aspec, r))
@@ -175,10 +186,20 @@ def encode(spec, v, w: BitWriter) -> None:
                     w.put(b, 8)
         return
     if kind == "choice":
-        _, ext, alts = spec
+        ext, alts = spec[1], spec[2]
+        ext_alts = spec[3] if len(spec) > 3 else []
+        name, val = v
+        for i, (n, aspec) in enumerate(ext_alts):
+            if n == name:
+                w.put(1, 1)          # extension bit
+                w.put(0, 1)          # normally-small: <64
+                w.put(i, 6)
+                inner = BitWriter()
+                encode(aspec, val, inner)
+                encode(("octets*",), inner.to_bytes() or b"\0", w)
+                return
         if ext:
             w.put(0, 1)
-        name, val = v
         idx = next(i for i, (n, _) in enumerate(alts) if n == name)
         w.put(idx, _nbits(len(alts)))
         encode(alts[idx][1], val, w)
@@ -207,6 +228,12 @@ PLMN_IDENTITY = ("seq", False, [
     ("mnc", ("seqof", 2, 3, ("int", 0, 9)), "m"),
 ])
 
+DEDICATED_INFO_TYPE = ("choice", False, [
+    ("dedicated_info_nas", ("octets*",)),
+    ("dedicated_info_cdma2000_1xrtt", ("octets*",)),
+    ("dedicated_info_cdma2000_hrpd", ("octets*",)),
+])
+
 CELL_GLOBAL_ID_EUTRA = ("seq", False, [
     ("plmn_identity", PLMN_IDENTITY, "m"),
     ("cell_identity", ("bits", 28), "m"),
@@ -227,6 +254,21 @@ MEAS_RESULT_EUTRA = ("seq", False, [
     ("meas_result", MEAS_RESULT, "m"),
 ])
 
+MEAS_RESULT_NR_R15 = ("seq", True, [
+    ("rsrp_result_r15", ("int", 0, 127), "o"),
+    ("rsrq_result_r15", ("int", 0, 127), "o"),
+    ("rs_sinr_result_r15", ("int", 0, 127), "o"),
+])
+
+MEAS_RESULT_CELL_NR_R15 = ("seq", True, [
+    ("pci_r15", ("int", 0, 1007), "m"),
+    ("meas_result_cell_r15", MEAS_RESULT_NR_R15, "m"),
+    ("meas_result_rs_index_list_r15", ("seqof", 1, 32, ("seq", True, [
+        ("ssb_index_r15", ("int", 0, 63), "m"),
+        ("meas_result_ssb_index_r15", MEAS_RESULT_NR_R15, "o"),
+    ])), "o"),
+])
+
 MEAS_RESULTS = ("seq", True, [
     ("meas_id", ("int", 1, 32), "m"),
     ("meas_result_pcell", ("seq", False, [
@@ -238,6 +280,10 @@ MEAS_RESULTS = ("seq", True, [
         ("meas_result_list_utra", ("null",)),
         ("meas_result_list_geran", ("null",)),
         ("meas_results_cdma2000", ("null",)),
+    ], [
+        # extended alternative (36.331 r15, open-type wrapped): NR B1
+        ("meas_result_neigh_cell_list_nr_r15",
+         ("seqof", 1, 8, MEAS_RESULT_CELL_NR_R15)),
     ]), "o"),
 ])
 
@@ -252,18 +298,89 @@ MEASUREMENT_REPORT = ("seq", False, [
     ]), "m"),
 ])
 
+RRC_CONNECTION_RECONFIGURATION_COMPLETE = ("seq", False, [
+    ("rrc_transaction_identifier", ("int", 0, 3), "m"),
+    ("critical_extensions", ("choice", False, [
+        ("rrc_connection_reconfiguration_complete_r8", ("seq", False, [
+            ("non_critical_extension", ("seq", False, []), "o"),
+        ])),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
+RRC_CONNECTION_REESTABLISHMENT_COMPLETE = ("seq", False, [
+    ("rrc_transaction_identifier", ("int", 0, 3), "m"),
+    ("critical_extensions", ("choice", False, [
+        ("rrc_connection_reestablishment_complete_r8", ("seq", False, [
+            ("non_critical_extension", ("seq", False, []), "o"),
+        ])),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
+RRC_CONNECTION_SETUP_COMPLETE = ("seq", False, [
+    ("rrc_transaction_identifier", ("int", 0, 3), "m"),
+    ("critical_extensions", ("choice", False, [
+        ("c1", ("choice", False, [
+            ("rrc_connection_setup_complete_r8", ("seq", False, [
+                ("selected_plmn_identity", ("int", 1, 6), "m"),
+                ("registered_mme", ("seq", False, [
+                    ("plmn_identity", PLMN_IDENTITY, "o"),
+                    ("mmegi", ("bits", 16), "m"),
+                    ("mmec", ("bits", 8), "m"),
+                ]), "o"),
+                ("dedicated_info_nas", ("octets*",), "m"),
+                ("non_critical_extension", ("seq", False, []), "o"),
+            ]))] + _spare(("null",), 3))),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
+SECURITY_MODE_COMPLETE = ("seq", False, [
+    ("rrc_transaction_identifier", ("int", 0, 3), "m"),
+    ("critical_extensions", ("choice", False, [
+        ("security_mode_complete_r8", ("seq", False, [
+            ("non_critical_extension", ("seq", False, []), "o"),
+        ])),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
+SECURITY_MODE_FAILURE = ("seq", False, [
+    ("rrc_transaction_identifier", ("int", 0, 3), "m"),
+    ("critical_extensions", ("choice", False, [
+        ("security_mode_failure_r8", ("seq", False, [
+            ("non_critical_extension", ("seq", False, []), "o"),
+        ])),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
+UL_INFORMATION_TRANSFER = ("seq", False, [
+    ("critical_extensions", ("choice", False, [
+        ("c1", ("choice", False, [
+            ("ul_information_transfer_r8", ("seq", False, [
+                ("dedicated_info_type", DEDICATED_INFO_TYPE, "m"),
+                ("non_critical_extension", ("seq", False, []), "o"),
+            ]))] + _spare(("null",), 3))),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
 UL_DCCH_MESSAGE = ("choice", False, [
     ("c1", ("choice", False, [
         ("csfb_parameters_request_cdma2000", ("null",)),
         ("measurement_report", MEASUREMENT_REPORT),
-        ("rrc_connection_reconfiguration_complete", ("null",)),
-        ("rrc_connection_reestablishment_complete", ("null",)),
-        ("rrc_connection_setup_complete", ("null",)),
-        ("security_mode_complete", ("null",)),
-        ("security_mode_failure", ("null",)),
+        ("rrc_connection_reconfiguration_complete",
+         RRC_CONNECTION_RECONFIGURATION_COMPLETE),
+        ("rrc_connection_reestablishment_complete",
+         RRC_CONNECTION_REESTABLISHMENT_COMPLETE),
+        ("rrc_connection_setup_complete", RRC_CONNECTION_SETUP_COMPLETE),
+        ("security_mode_complete", SECURITY_MODE_COMPLETE),
+        ("security_mode_failure", SECURITY_MODE_FAILURE),
         ("ue_capability_information", ("null",)),
         ("ul_handover_preparation_transfer", ("null",)),
-        ("ul_information_transfer", ("null",)),
+        ("ul_information_transfer", UL_INFORMATION_TRANSFER),
         ("counter_check_response", ("null",)),
         ("ue_information_response_r9", ("null",)),
         ("proximity_indication_r9", ("null",)),
@@ -486,9 +603,39 @@ PHYSICAL_CONFIG_DEDICATED = ("seq", True, [
     ("scheduling_request_config", SCHEDULING_REQUEST_CONFIG, "o"),
 ])
 
+PDCP_CONFIG = ("seq", True, [
+    ("discard_timer", ("enum", 8), "o"),
+    ("rlc_am", ("seq", False, [
+        ("status_report_required", ("bool",), "m"),
+    ]), "o"),
+    ("rlc_um", ("seq", False, [
+        ("pdcp_sn_size", ("enum", 2), "m"),
+    ]), "o"),
+    ("header_compression", ("choice", True, [
+        ("not_used", ("null",)),
+        ("rohc", ("seq", True, [
+            ("max_cid", ("int", 1, 16383), "o"),   # DEFAULT 15
+            ("profiles", ("seq", False, [
+                (f"profile{p}", ("bool",), "m")
+                for p in ("0x0001", "0x0002", "0x0003", "0x0004", "0x0006",
+                          "0x0101", "0x0102", "0x0103", "0x0104")
+            ]), "m"),
+        ])),
+    ]), "m"),
+])
+
+DRB_TO_ADD_MOD = ("seq", True, [
+    ("eps_bearer_identity", ("int", 0, 15), "o"),
+    ("drb_identity", ("int", 1, 32), "m"),
+    ("pdcp_config", PDCP_CONFIG, "o"),
+    ("rlc_config", RLC_CONFIG, "o"),
+    ("logical_channel_identity", ("int", 3, 10), "o"),
+    ("logical_channel_config", LOGICAL_CHANNEL_CONFIG, "o"),
+])
+
 RADIO_RESOURCE_CONFIG_DEDICATED = ("seq", True, [
     ("srb_to_add_mod_list", ("seqof", 1, 2, SRB_TO_ADD_MOD), "o"),
-    ("drb_to_add_mod_list", ("seqof", 1, 11, ("null",)), "o"),
+    ("drb_to_add_mod_list", ("seqof", 1, 11, DRB_TO_ADD_MOD), "o"),
     ("drb_to_release_list", ("seqof", 1, 11, ("int", 1, 32)), "o"),
     ("mac_main_config", ("choice", False, [
         ("explicit_value", MAC_MAIN_CONFIG),
@@ -511,11 +658,46 @@ RRC_CONNECTION_SETUP = ("seq", False, [
     ]), "m"),
 ])
 
+RRC_CONNECTION_REESTABLISHMENT = ("seq", False, [
+    ("rrc_transaction_identifier", ("int", 0, 3), "m"),
+    ("critical_extensions", ("choice", False, [
+        ("c1", ("choice", False, [
+            ("rrc_connection_reestablishment_r8", ("seq", False, [
+                ("radio_resource_config_dedicated",
+                 RADIO_RESOURCE_CONFIG_DEDICATED, "m"),
+                ("next_hop_chaining_count", ("int", 0, 7), "m"),
+                ("non_critical_extension", ("seq", False, []), "o"),
+            ]))] + _spare(("null",), 7))),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
+RRC_CONNECTION_REESTABLISHMENT_REJECT = ("seq", False, [
+    ("critical_extensions", ("choice", False, [
+        ("rrc_connection_reestablishment_reject_r8", ("seq", False, [
+            ("non_critical_extension", ("seq", False, []), "o"),
+        ])),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
+RRC_CONNECTION_REJECT = ("seq", False, [
+    ("critical_extensions", ("choice", False, [
+        ("c1", ("choice", False, [
+            ("rrc_connection_reject_r8", ("seq", False, [
+                ("wait_time", ("int", 1, 16), "m"),
+                ("non_critical_extension", ("seq", False, []), "o"),
+            ]))] + _spare(("null",), 3))),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
 DL_CCCH_MESSAGE = ("choice", False, [
     ("c1", ("choice", False, [
-        ("rrc_connection_reestablishment", ("null",)),
-        ("rrc_connection_reestablishment_reject", ("null",)),
-        ("rrc_connection_reject", ("null",)),
+        ("rrc_connection_reestablishment", RRC_CONNECTION_REESTABLISHMENT),
+        ("rrc_connection_reestablishment_reject",
+         RRC_CONNECTION_REESTABLISHMENT_REJECT),
+        ("rrc_connection_reject", RRC_CONNECTION_REJECT),
         ("rrc_connection_setup", RRC_CONNECTION_SETUP),
     ])),
     ("message_class_extension", ("seq", False, [])),
@@ -758,38 +940,8 @@ MOBILITY_CONTROL_INFO = ("seq", True, [
     ]), "o"),
 ])
 
-PDCP_CONFIG = ("seq", True, [
-    ("discard_timer", ("enum", 8), "o"),
-    ("rlc_am", ("seq", False, [
-        ("status_report_required", ("bool",), "m"),
-    ]), "o"),
-    ("rlc_um", ("seq", False, [
-        ("pdcp_sn_size", ("enum", 2), "m"),
-    ]), "o"),
-    ("header_compression", ("choice", True, [
-        ("not_used", ("null",)),
-        ("rohc", ("seq", True, [
-            ("max_cid", ("int", 1, 16383), "o"),   # DEFAULT 15
-            ("profiles", ("seq", False, [
-                (f"profile{p}", ("bool",), "m")
-                for p in ("0x0001", "0x0002", "0x0003", "0x0004", "0x0006",
-                          "0x0101", "0x0102", "0x0103", "0x0104")
-            ]), "m"),
-        ])),
-    ]), "m"),
-])
-
-DRB_TO_ADD_MOD = ("seq", True, [
-    ("eps_bearer_identity", ("int", 0, 15), "o"),
-    ("drb_identity", ("int", 1, 32), "m"),
-    ("pdcp_config", PDCP_CONFIG, "o"),
-    ("rlc_config", RLC_CONFIG, "o"),
-    ("logical_channel_identity", ("int", 3, 10), "o"),
-    ("logical_channel_config", LOGICAL_CHANNEL_CONFIG, "o"),
-])
-
 SECURITY_CONFIG_HO = ("seq", True, [
-    ("handover_type", ("choice", True, [
+    ("handover_type", ("choice", False, [
         ("intra_lte", ("seq", False, [
             ("security_algorithm_config", ("seq", False, [
                 ("ciphering_algorithm", ("enum+", 8), "m"),
@@ -800,6 +952,75 @@ SECURITY_CONFIG_HO = ("seq", True, [
         ])),
         ("inter_rat", ("null",)),
     ]), "m"),
+])
+
+# nonCriticalExtension chain r8 → v890 → v920 → v1020 → v1130 → v1250 →
+# v1310 → v1430 → v1510 (field arity/order per the reference's generated
+# dl_dcch_msg.h structs); only the v1510 EN-DC fields are ever populated
+# by this framework — the earlier versions contribute their (all-absent)
+# presence bitmaps, exactly as a real r15 eNB encodes them.
+RRC_CONN_RECONF_V1510_IES = ("seq", False, [
+    ("nr_config_r15", ("choice", False, [
+        ("release", ("null",)),
+        ("setup", ("seq", False, [
+            ("endc_release_and_add_r15", ("bool",), "m"),
+            ("nr_secondary_cell_group_config_r15", ("octets*",), "o"),
+            ("p_max_eutra_r15", ("int", -30, 33), "o"),
+        ])),
+    ]), "o"),
+    ("sk_counter_r15", ("int", 0, 65535), "o"),
+    ("nr_radio_bearer_config1_r15", ("octets*",), "o"),
+    ("nr_radio_bearer_config2_r15", ("octets*",), "o"),
+    ("tdm_pattern_config_r15", ("null",), "o"),
+    ("non_critical_extension", ("seq", False, []), "o"),
+])
+
+RRC_CONN_RECONF_V1430_IES = ("seq", False, [
+    ("sl_v2x_config_dedicated_r14", ("null",), "o"),
+    ("scell_to_add_mod_list_ext_v1430", ("null",), "o"),
+    ("per_cc_gap_indication_request_r14", ("enum", 1), "o"),
+    ("sib_type2_dedicated_r14", ("octets*",), "o"),
+    ("non_critical_extension", RRC_CONN_RECONF_V1510_IES, "o"),
+])
+
+RRC_CONN_RECONF_V1310_IES = ("seq", False, [
+    ("scell_to_release_list_ext_r13", ("null",), "o"),
+    ("scell_to_add_mod_list_ext_r13", ("null",), "o"),
+    ("lwa_config_r13", ("null",), "o"),
+    ("lwip_config_r13", ("null",), "o"),
+    ("rclwi_config_r13", ("null",), "o"),
+    ("non_critical_extension", RRC_CONN_RECONF_V1430_IES, "o"),
+])
+
+RRC_CONN_RECONF_V1250_IES = ("seq", False, [
+    ("wlan_offload_info_r12", ("null",), "o"),
+    ("scg_config_r12", ("null",), "o"),
+    ("sl_sync_tx_control_r12", ("null",), "o"),
+    ("sl_disc_config_r12", ("null",), "o"),
+    ("sl_comm_config_r12", ("null",), "o"),
+    ("non_critical_extension", RRC_CONN_RECONF_V1310_IES, "o"),
+])
+
+RRC_CONN_RECONF_V1130_IES = ("seq", False, [
+    ("sib_type1_dedicated_r11", ("octets*",), "o"),
+    ("non_critical_extension", RRC_CONN_RECONF_V1250_IES, "o"),
+])
+
+RRC_CONN_RECONF_V1020_IES = ("seq", False, [
+    ("scell_to_release_list_r10", ("null",), "o"),
+    ("scell_to_add_mod_list_r10", ("null",), "o"),
+    ("non_critical_extension", RRC_CONN_RECONF_V1130_IES, "o"),
+])
+
+RRC_CONN_RECONF_V920_IES = ("seq", False, [
+    ("other_config_r9", ("null",), "o"),
+    ("full_config_r9", ("enum", 1), "o"),
+    ("non_critical_extension", RRC_CONN_RECONF_V1020_IES, "o"),
+])
+
+RRC_CONN_RECONF_V890_IES = ("seq", False, [
+    ("late_non_critical_extension", ("octets*",), "o"),
+    ("non_critical_extension", RRC_CONN_RECONF_V920_IES, "o"),
 ])
 
 RRC_CONNECTION_RECONFIGURATION = ("seq", False, [
@@ -814,8 +1035,63 @@ RRC_CONNECTION_RECONFIGURATION = ("seq", False, [
                 ("radio_resource_config_dedicated",
                  RADIO_RESOURCE_CONFIG_DEDICATED, "o"),
                 ("security_config_ho", SECURITY_CONFIG_HO, "o"),
-                ("non_critical_extension", ("seq", False, []), "o"),
+                ("non_critical_extension", RRC_CONN_RECONF_V890_IES, "o"),
             ]))] + _spare(("null",), 7))),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
+# ---- SecurityModeCommand / Release / DLInformationTransfer (DL-DCCH) --------
+
+SECURITY_ALGORITHM_CONFIG = ("seq", False, [
+    ("ciphering_algorithm", ("enum+", 8), "m"),
+    ("integrity_prot_algorithm", ("enum+", 8), "m"),
+])
+
+SECURITY_MODE_COMMAND = ("seq", False, [
+    ("rrc_transaction_identifier", ("int", 0, 3), "m"),
+    ("critical_extensions", ("choice", False, [
+        ("c1", ("choice", False, [
+            ("security_mode_command_r8", ("seq", False, [
+                ("security_config_smc", ("seq", True, [
+                    ("security_algorithm_config",
+                     SECURITY_ALGORITHM_CONFIG, "m"),
+                ]), "m"),
+                ("non_critical_extension", ("seq", False, []), "o"),
+            ]))] + _spare(("null",), 3))),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
+RRC_CONNECTION_RELEASE = ("seq", False, [
+    ("rrc_transaction_identifier", ("int", 0, 3), "m"),
+    ("critical_extensions", ("choice", False, [
+        ("c1", ("choice", False, [
+            ("rrc_connection_release_r8", ("seq", False, [
+                ("release_cause", ("enum", 4), "m"),
+                ("redirected_carrier_info", ("choice", True, [
+                    ("eutra", ("int", 0, 65535)),
+                    ("geran", ("null",)),
+                    ("utra_fdd", ("int", 0, 16383)),
+                    ("utra_tdd", ("int", 0, 16383)),
+                    ("cdma2000_hrpd", ("null",)),
+                    ("cdma2000_1xrtt", ("null",)),
+                ]), "o"),
+                ("idle_mode_mobility_control_info", ("null",), "o"),
+                ("non_critical_extension", ("seq", False, []), "o"),
+            ]))] + _spare(("null",), 3))),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
+DL_INFORMATION_TRANSFER = ("seq", False, [
+    ("rrc_transaction_identifier", ("int", 0, 3), "m"),
+    ("critical_extensions", ("choice", False, [
+        ("c1", ("choice", False, [
+            ("dl_information_transfer_r8", ("seq", False, [
+                ("dedicated_info_type", DEDICATED_INFO_TYPE, "m"),
+                ("non_critical_extension", ("seq", False, []), "o"),
+            ]))] + _spare(("null",), 3))),
         ("critical_extensions_future", ("seq", False, [])),
     ]), "m"),
 ])
@@ -838,12 +1114,12 @@ UE_CAPABILITY_ENQUIRY = ("seq", False, [
 DL_DCCH_MESSAGE = ("choice", False, [
     ("c1", ("choice", False, [
         ("csfb_parameters_response_cdma2000", ("null",)),
-        ("dl_information_transfer", ("null",)),
+        ("dl_information_transfer", DL_INFORMATION_TRANSFER),
         ("handover_from_eutra_preparation_request", ("null",)),
         ("mobility_from_eutra_command", ("null",)),
         ("rrc_connection_reconfiguration", RRC_CONNECTION_RECONFIGURATION),
-        ("rrc_connection_release", ("null",)),
-        ("security_mode_command", ("null",)),
+        ("rrc_connection_release", RRC_CONNECTION_RELEASE),
+        ("security_mode_command", SECURITY_MODE_COMMAND),
         ("ue_capability_enquiry", UE_CAPABILITY_ENQUIRY),
         ("counter_check", ("null",)),
         ("ue_information_request_r9", ("null",)),
@@ -874,9 +1150,25 @@ RRC_CONNECTION_REQUEST = ("seq", False, [
     ]), "m"),
 ])
 
+RRC_CONNECTION_REESTABLISHMENT_REQUEST = ("seq", False, [
+    ("critical_extensions", ("choice", False, [
+        ("rrc_connection_reestablishment_request_r8", ("seq", False, [
+            ("ue_identity", ("seq", False, [
+                ("c_rnti", ("bits", 16), "m"),
+                ("phys_cell_id", ("int", 0, 503), "m"),
+                ("short_mac_i", ("bits", 16), "m"),
+            ]), "m"),
+            ("reestablishment_cause", ("enum", 4), "m"),
+            ("spare", ("bits", 2), "m"),
+        ])),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
 UL_CCCH_MESSAGE = ("choice", False, [
     ("c1", ("choice", False, [
-        ("rrc_connection_reestablishment_request", ("null",)),
+        ("rrc_connection_reestablishment_request",
+         RRC_CONNECTION_REESTABLISHMENT_REQUEST),
         ("rrc_connection_request", RRC_CONNECTION_REQUEST),
     ])),
     ("message_class_extension", ("seq", False, [])),
@@ -930,6 +1222,188 @@ MCCH_MESSAGE = ("choice", False, [
     ("c1", ("choice", False, [
         ("mbsfn_area_configuration_r9", MBSFN_AREA_CONFIGURATION_R9),
     ])),
+    ("message_class_extension", ("seq", False, [])),
+])
+
+
+# ---- BCCH: MIB (BCCH-BCH), SIB1 + SystemInformation (BCCH-DL-SCH) -----------
+
+MIB = ("seq", False, [
+    ("dl_bandwidth", ("enum", 6), "m"),       # n6,n15,n25,n50,n75,n100
+    ("phich_config", ("seq", False, [
+        ("phich_duration", ("enum", 2), "m"),
+        ("phich_resource", ("enum", 4), "m"),  # oneSixth,half,one,two
+    ]), "m"),
+    ("system_frame_number", ("bits", 8), "m"),
+    ("spare", ("bits", 10), "m"),
+])
+
+BCCH_BCH_MESSAGE = ("seq", False, [("message", MIB, "m")])
+
+SIB_TYPE = ("enum+", 16)   # sibType3..sibType18-v1250 base, extensible
+
+SIB1 = ("seq", False, [
+    ("cell_access_related_info", ("seq", False, [
+        ("plmn_identity_list", ("seqof", 1, 6, ("seq", False, [
+            ("plmn_identity", PLMN_IDENTITY, "m"),
+            ("cell_reserved_for_operator_use", ("enum", 2), "m"),
+        ])), "m"),
+        ("tracking_area_code", ("bits", 16), "m"),
+        ("cell_identity", ("bits", 28), "m"),
+        ("cell_barred", ("enum", 2), "m"),
+        ("intra_freq_reselection", ("enum", 2), "m"),
+        ("csg_indication", ("bool",), "m"),
+        ("csg_identity", ("bits", 27), "o"),
+    ]), "m"),
+    ("cell_selection_info", ("seq", False, [
+        ("q_rx_lev_min", ("int", -70, -22), "m"),
+        ("q_rx_lev_min_offset", ("int", 1, 8), "o"),
+    ]), "m"),
+    ("p_max", ("int", -30, 33), "o"),
+    ("freq_band_indicator", ("int", 1, 64), "m"),
+    ("scheduling_info_list", ("seqof", 1, 32, ("seq", False, [
+        ("si_periodicity", ("enum", 7), "m"),  # rf8..rf512
+        ("sib_mapping_info", ("seqof", 0, 31, SIB_TYPE), "m"),
+    ])), "m"),
+    ("tdd_config", ("seq", False, [
+        ("subframe_assignment", ("enum", 7), "m"),
+        ("special_subframe_patterns", ("enum", 9), "m"),
+    ]), "o"),
+    ("si_window_length", ("enum", 7), "m"),    # ms1..ms40
+    ("system_info_value_tag", ("int", 0, 31), "m"),
+    ("non_critical_extension", ("seq", False, []), "o"),
+])
+
+PRACH_CONFIG_SIB = ("seq", False, [
+    ("root_sequence_index", ("int", 0, 837), "m"),
+    ("prach_config_info", ("seq", False, [
+        ("prach_config_index", ("int", 0, 63), "m"),
+        ("high_speed_flag", ("bool",), "m"),
+        ("zero_correlation_zone_config", ("int", 0, 15), "m"),
+        ("prach_freq_offset", ("int", 0, 94), "m"),
+    ]), "m"),
+])
+
+RADIO_RESOURCE_CONFIG_COMMON_SIB = ("seq", True, [
+    ("rach_config_common", RACH_CONFIG_COMMON, "m"),
+    ("bcch_config", ("seq", False, [
+        ("modification_period_coeff", ("enum", 4), "m"),  # n2,n4,n8,n16
+    ]), "m"),
+    ("pcch_config", ("seq", False, [
+        ("default_paging_cycle", ("enum", 4), "m"),  # rf32..rf256
+        ("nb", ("enum", 8), "m"),
+    ]), "m"),
+    ("prach_config", PRACH_CONFIG_SIB, "m"),
+    ("pdsch_config_common", ("seq", False, [
+        ("reference_signal_power", ("int", -60, 50), "m"),
+        ("p_b", ("int", 0, 3), "m"),
+    ]), "m"),
+    ("pusch_config_common", PUSCH_CONFIG_COMMON, "m"),
+    ("pucch_config_common", ("seq", False, [
+        ("delta_pucch_shift", ("enum", 3), "m"),
+        ("n_rb_cqi", ("int", 0, 98), "m"),
+        ("n_cs_an", ("int", 0, 7), "m"),
+        ("n1_pucch_an", ("int", 0, 2047), "m"),
+    ]), "m"),
+    ("sounding_rs_ul_config_common", ("choice", False, [
+        ("release", ("null",)),
+        ("setup", ("seq", False, [
+            ("srs_bandwidth_config", ("enum", 8), "m"),
+            ("srs_subframe_config", ("enum", 16), "m"),
+            ("ack_nack_srs_simultaneous_transmission", ("bool",), "m"),
+            ("srs_max_up_pts", ("enum", 1), "o"),
+        ])),
+    ]), "m"),
+    ("uplink_power_control_common", ("seq", False, [
+        ("p0_nominal_pusch", ("int", -126, 24), "m"),
+        ("alpha", ("enum", 8), "m"),
+        ("p0_nominal_pucch", ("int", -127, -96), "m"),
+        ("delta_flist_pucch", ("seq", False, [
+            ("delta_f_pucch_format1", ("enum", 3), "m"),
+            ("delta_f_pucch_format1b", ("enum", 3), "m"),
+            ("delta_f_pucch_format2", ("enum", 4), "m"),
+            ("delta_f_pucch_format2a", ("enum", 3), "m"),
+            ("delta_f_pucch_format2b", ("enum", 3), "m"),
+        ]), "m"),
+        ("delta_preamble_msg3", ("int", -1, 6), "m"),
+    ]), "m"),
+    ("ul_cyclic_prefix_length", ("enum", 2), "m"),
+])
+
+UE_TIMERS_AND_CONSTANTS = ("seq", True, [
+    ("t300", ("enum", 8), "m"),   # ms100..ms2000
+    ("t301", ("enum", 8), "m"),
+    ("t310", ("enum", 7), "m"),   # ms0..ms2000
+    ("n310", ("enum", 8), "m"),   # n1..n20
+    ("t311", ("enum", 7), "m"),   # ms1000..ms30000
+    ("n311", ("enum", 8), "m"),   # n1..n10
+])
+
+SIB2 = ("seq", True, [
+    ("ac_barring_info", ("seq", False, [
+        ("ac_barring_for_emergency", ("bool",), "m"),
+        ("ac_barring_for_mo_signalling", ("null",), "o"),
+        ("ac_barring_for_mo_data", ("null",), "o"),
+    ]), "o"),
+    ("radio_resource_config_common", RADIO_RESOURCE_CONFIG_COMMON_SIB, "m"),
+    ("ue_timers_and_constants", UE_TIMERS_AND_CONSTANTS, "m"),
+    ("freq_info", ("seq", False, [
+        ("ul_carrier_freq", ("int", 0, 65535), "o"),
+        ("ul_bandwidth", ("enum", 6), "o"),
+        ("additional_spectrum_emission", ("int", 1, 32), "m"),
+    ]), "m"),
+    ("mbsfn_subframe_config_list", ("seqof", 1, 8, MBSFN_SUBFRAME_CONFIG),
+     "o"),
+    ("time_alignment_timer_common", ("enum", 8), "m"),
+])
+
+SYSTEM_INFORMATION = ("seq", False, [
+    ("critical_extensions", ("choice", False, [
+        ("system_information_r8", ("seq", False, [
+            ("sib_type_and_info", ("seqof", 1, 32, ("choice", True, [
+                ("sib2", SIB2),
+                ("sib3", ("null",)), ("sib4", ("null",)),
+                ("sib5", ("null",)), ("sib6", ("null",)),
+                ("sib7", ("null",)), ("sib8", ("null",)),
+                ("sib9", ("null",)), ("sib10", ("null",)),
+                ("sib11", ("null",)),
+            ])), "m"),
+            ("non_critical_extension", ("seq", False, []), "o"),
+        ])),
+        ("critical_extensions_future", ("seq", False, [])),
+    ]), "m"),
+])
+
+BCCH_DL_SCH_MESSAGE = ("choice", False, [
+    ("c1", ("choice", False, [
+        ("system_information", SYSTEM_INFORMATION),
+        ("system_information_block_type1", SIB1),
+    ])),
+    ("message_class_extension", ("seq", False, [])),
+])
+
+# ---- PCCH: Paging ------------------------------------------------------------
+
+PAGING_RECORD = ("seq", True, [
+    ("ue_identity", ("choice", True, [
+        ("s_tmsi", ("seq", False, [
+            ("mmec", ("bits", 8), "m"),
+            ("m_tmsi", ("bits", 32), "m"),
+        ])),
+        ("imsi", ("seqof", 6, 21, ("int", 0, 9))),
+    ]), "m"),
+    ("cn_domain", ("enum", 2), "m"),
+])
+
+PAGING = ("seq", False, [
+    ("paging_record_list", ("seqof", 1, 16, PAGING_RECORD), "o"),
+    ("system_info_modification", ("enum", 1), "o"),
+    ("etws_indication", ("enum", 1), "o"),
+    ("non_critical_extension", ("seq", False, []), "o"),
+])
+
+PCCH_MESSAGE = ("choice", False, [
+    ("c1", ("choice", False, [("paging", PAGING)])),
     ("message_class_extension", ("seq", False, [])),
 ])
 

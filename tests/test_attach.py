@@ -37,11 +37,13 @@ def test_rrc_ccch_dcch_roundtrip():
     req = R.RrcConnectionRequest(ue_identity=0xABCDE12345, establishment_cause=1)
     out = R.unpack_ul_ccch(req.pack())
     assert out == req
+    # the C-RNTI is not on the wire (36.331) — only srb1 round-trips
     setup = R.RrcConnectionSetup(rnti=0x4601)
-    assert R.unpack_dl_ccch(setup.pack()) == setup
+    back = R.unpack_dl_ccch(setup.pack())
+    assert back.rnti == 0 and back.srb1 == setup.srb1
     reconf = R.RrcConnectionReconfiguration(
         drbs=[R.DrbToAddMod(drb_id=2, eps_bearer_id=6, lcid=4,
-                            rlc_mode="um", pdcp_sn_len=18)],
+                            rlc_mode="um", pdcp_sn_len=7)],
         nas_pdu=b"\x07\x42\x01", meas_config=True)
     back = R.unpack_dl_dcch(reconf.pack())
     assert back == reconf
@@ -122,6 +124,9 @@ def _wire():
             while q_enb2ue:
                 rnti, lcid, pdu = q_enb2ue.pop(0)
                 if lcid == 0:
+                    # MAC temp C-RNTI promotion (36.321): the identity
+                    # rides the RAR, not the RRC message
+                    ue.c_rnti = rnti or ue.c_rnti
                     ue.rx_ccch(pdu)
                 else:
                     ue.rx_dcch(lcid, pdu)

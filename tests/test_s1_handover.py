@@ -51,6 +51,9 @@ def _wire2():
             while q_dl:
                 enb, rnti, lcid, pdu = q_dl.pop(0)
                 if lcid == 0:
+                    # MAC temp C-RNTI promotion (36.321): the identity
+                    # rides the RAR, not the RRC message
+                    ue.c_rnti = rnti or ue.c_rnti
                     ue.rx_ccch(pdu)
                 else:
                     ue.rx_dcch(lcid, pdu)
