@@ -252,7 +252,7 @@ def test_sys_metrics_reads_proc():
 
 def test_e2_kpm_subscription_and_indication():
     wire = []
-    agent = e2.E2Agent(metrics_source=lambda: {"cqi": 15, "dl_mbps": 42.5,
+    agent = e2.E2Agent(metrics_source=lambda: {"cqi": 15, "dl_mbps": 42,
                                                "nof_ue": 1},
                        tx=wire.append)
     agent.setup()
@@ -267,10 +267,11 @@ def test_e2_kpm_subscription_and_indication():
                                             metrics=("cqi", "dl_mbps"))))
     for _ in range(25):
         agent.tick(1)
-    inds = [e2.unpack_pdu(p)[2] for p in wire
-            if p[0] == e2.PROC_RIC_INDICATION]
+    decoded = [e2.unpack_pdu(p) for p in wire[1:]]
+    inds = [m for proc2, _, m in decoded
+            if proc2 == e2.PROC_RIC_INDICATION]
     assert len(inds) == 2
-    assert inds[0].kpm_report == {"cqi": 15, "dl_mbps": 42.5}
+    assert inds[0].kpm_report == {"cqi": 15, "dl_mbps": 42}
     assert inds[1].sn > inds[0].sn
     # malformed E2AP is counted, not raised
     agent.rx(b"\xff\xff\x00\x01z")
