@@ -38,6 +38,7 @@ HARNESS = r"""
 #include "srsran/asn1/rrc/paging.h"
 #include "srsran/asn1/rrc/ul_ccch_msg.h"
 #include "srsran/asn1/rrc/ul_dcch_msg.h"
+#include "srsran/asn1/rrc_nbiot.h"
 #include <cstdio>
 #include <cstring>
 #include <string>
@@ -93,6 +94,11 @@ int main(int argc, char** argv) {
   if (cls == "ul_ccch") return roundtrip<ul_ccch_msg_s>(pdu);
   if (cls == "dl_dcch") return roundtrip<dl_dcch_msg_s>(pdu);
   if (cls == "ul_dcch") return roundtrip<ul_dcch_msg_s>(pdu);
+  if (cls == "bcch_bch_nb") return roundtrip<bcch_bch_msg_nb_s>(pdu);
+  if (cls == "bcch_dl_sch_nb") return roundtrip<bcch_dl_sch_msg_nb_s>(pdu);
+  if (cls == "ul_ccch_nb") return roundtrip<ul_ccch_msg_nb_s>(pdu);
+  if (cls == "dl_ccch_nb") return roundtrip<dl_ccch_msg_nb_s>(pdu);
+  if (cls == "ul_dcch_nb") return roundtrip<ul_dcch_msg_nb_s>(pdu);
   fprintf(stderr, "unknown class %s\n", cls.c_str());
   return 2;
 }
@@ -114,7 +120,8 @@ def build() -> pathlib.Path:
     WORK.mkdir(parents=True, exist_ok=True)
     (WORK / "harness.cc").write_text(HARNESS)
     objs = []
-    srcs = [f"{REF}/asn1_utils.cc", f"{REF}/rrc.cc"] + [
+    srcs = [f"{REF}/asn1_utils.cc", f"{REF}/rrc.cc",
+            f"{REF}/rrc_nbiot.cc"] + [
         f"{REF}/rrc/{m}.cc" for m in RRC_MODULES
     ] + SRSLOG_SRCS + [str(WORK / "harness.cc")]
     for src in srcs:
