@@ -21,6 +21,7 @@ from srsran_4g_tpu.ops import convcode, crc as crc_ops, modem, rate_match, seque
 from ..stack.asn1 import BitReader, BitWriter
 
 MIB_SL_LEN = 40
+MIB_SL_V2X_LEN = 48   # TM3/4 SL-BCH TB (MasterInformationBlock-SL-V2X-r14)
 _PSBCH_RE = 288  # 6 PRB x 4 symbols
 
 
@@ -96,16 +97,19 @@ class MibSl:
 
     _BW = [6, 15, 25, 50, 75, 100]
 
-    def pack(self) -> np.ndarray:
+    def pack(self, v2x: bool = False) -> np.ndarray:
+        """40-bit MIB-SL (TM1/2) or, with v2x=True, the 48-bit
+        MasterInformationBlock-SL-V2X-r14 (TM3/4) — same leading fields,
+        longer reserved tail (mib_sl.c SRSRAN_MIB_SL_V2X_LEN)."""
         w = BitWriter()
         w.put(self._BW.index(self.sl_bandwidth), 3)
         w.put(self.tdd_config, 3)
         w.put(self.direct_frame_number, 10)
         w.put(self.direct_subframe_number, 4)
         w.put_bool(self.in_coverage)
-        w.put(0, 19)  # reserved
+        w.put(0, 27 if v2x else 19)  # reserved
         bits = np.asarray(w.bits, np.int8)
-        assert len(bits) == MIB_SL_LEN
+        assert len(bits) == (MIB_SL_V2X_LEN if v2x else MIB_SL_LEN)
         return bits
 
     @classmethod
@@ -436,8 +440,9 @@ def _psbch_perm(e: int, nsym: int = _PSBCH_NSYM) -> np.ndarray:
 
 def psbch_tx_subframe(n_sl_id: int, nof_prb: int, mib_bits: jnp.ndarray,
                       tm: int = 2, ext_cp: bool = False) -> jnp.ndarray:
-    """(B, 40) MIB-SL → (B, nsym, nof_prb·12) PSBCH subframe grid
-    (nsym = 12 for TM1/2 extended CP, else 14)."""
+    """MIB-SL bits → (B, nsym, nof_prb·12) PSBCH subframe grid
+    (nsym = 12 for TM1/2 extended CP, else 14).  TM1/2 carry the 40-bit
+    MIB-SL; TM3/4 the 48-bit MIB-SL-V2X (pack with v2x=True)."""
     data_syms, dmrs_syms, ncoded = _PSBCH_LAYOUT[
         (12 if tm <= 2 else 34, ext_cp)]
     m_sc = PSBCH_NOF_PRB * 12
@@ -499,10 +504,11 @@ def psbch_rx_subframe(n_sl_id: int, nof_prb: int, rx_grid: jnp.ndarray,
     scr = sequence.gold_sequence_np(n_sl_id, e).astype(np.float32)
     llr = llr * jnp.asarray(1.0 - 2.0 * scr)
     llr = llr[..., jnp.asarray(np.argsort(_psbch_perm(e, ncoded)))]
-    dstreams = rate_match.conv_rate_dematch(llr, MIB_SL_LEN + 16)
+    tb_len = MIB_SL_V2X_LEN if tm >= 3 else MIB_SL_LEN
+    dstreams = rate_match.conv_rate_dematch(llr, tb_len + 16)
     bits = convcode.viterbi_decode(dstreams)
     ok = crc_ops.crc_check(bits, "16")
-    return dict(mib=bits[..., :MIB_SL_LEN], crc_ok=ok)
+    return dict(mib=bits[..., :tb_len], crc_ok=ok)
 
 
 def sl_demodulate(samples: jnp.ndarray, nof_prb: int) -> jnp.ndarray:
