@@ -638,6 +638,217 @@ def _make_emit_kernel_v6(j_blk: int):
     return kernel
 
 
+def _make_kernel_v7(t_train: int, l_win: int, tile_c: int,
+                    nof_b: int, nof_w: int):
+    """States-as-registers radix-2 kernel with FUSED two-phase emission.
+
+    v6's sweep eliminated the `_restack` bottleneck but paid for it with
+    full (L/2, 8, 8, C) alpha+beta stores and a second emission kernel.
+    v7 keeps the states-as-registers chains interleaved (alpha forward,
+    beta backward — two independent dependence chains) and splits the
+    body at the midpoint:
+
+      phase 1 (j < L/4): advance both chains, storing only the FIRST
+        half of each (astore/bstore are (L/4)-deep scratch);
+      phase 2 (j >= L/4): keep advancing both chains and emit four LLRs
+        per iteration — the alpha side emits the second-half position
+        pairs against the phase-1 beta store, the beta side emits the
+        first-half pairs against the phase-1 alpha store.  The odd-
+        position metrics reuse the chains' own half-steps, so emission
+        adds only one off-chain radix-2 step + two 8-way max trees per
+        side and the VLIW scheduler fills the sweep chains' idle issue
+        slots with it.
+    """
+    v6 = _tables_v6()
+    a_src, a_cmb = v6["a_src"], v6["a_cmb"]
+    b_src, b_cmb = v6["b_src"], v6["b_cmb"]
+    t = _tables()
+    ns0 = [int(v) for v in t["ns"][:, 0]]
+    ns1 = [int(v) for v in t["ns"][:, 1]]
+    p0 = [int(v) for v in t["par"][:, 0]]
+    p1 = [int(v) for v in t["par"][:, 1]]
+    t2, l2 = t_train // 2, l_win // 2
+    h = l2 // 2
+    s_all = l_win + 2 * t_train
+
+    def kernel(g, a0, b0, out, astore, bstore):
+        # g: (S, 2, 8, C); [r, 0] = systematic(+apriori), [r, 1] = parity
+        col = jax.lax.broadcasted_iota(jnp.int32, (8, tile_c), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, tile_c), 0)
+        lane = (sub * (pl.num_programs(0) * tile_c)
+                + pl.program_id(0) * tile_c + col)
+        m_a = lane >= nof_b                  # train-freeze: window 0
+        m_b = lane < (nof_w - 1) * nof_b     # last window
+
+        def rows(r):
+            blk = g[pl.ds(r, 1)]
+            gs = blk[0, 0]
+            gp = blk[0, 1]
+            return (None, gs, gp, gs + gp)
+
+        def astep(a, combos):
+            return [jnp.maximum(
+                a[a_src[s][0]] + combos[a_cmb[s][0]]
+                if a_cmb[s][0] else a[a_src[s][0]],
+                a[a_src[s][1]] + combos[a_cmb[s][1]]
+                if a_cmb[s][1] else a[a_src[s][1]],
+            ) for s in range(8)]
+
+        def bstep(b, combos):
+            return [jnp.maximum(
+                b[b_src[s][0]] + combos[b_cmb[s][0]]
+                if b_cmb[s][0] else b[b_src[s][0]],
+                b[b_src[s][1]] + combos[b_cmb[s][1]]
+                if b_cmb[s][1] else b[b_src[s][1]],
+            ) for s in range(8)]
+
+        def norm(x):
+            z = x[0]
+            return [v - z for v in x]
+
+        def treemax(xs):
+            while len(xs) > 1:
+                xs = [jnp.maximum(xs[i], xs[i + 1])
+                      for i in range(0, len(xs) - 1, 2)] + (
+                          [xs[-1]] if len(xs) % 2 else [])
+            return xs[0]
+
+        def emit(a, b1, combos):
+            # LLR at the position of `a` given beta at the NEXT position
+            gs, gp = combos[1], combos[2]
+            bp = [b1[x] + gp for x in range(8)]
+            m1 = treemax([a[s] + (bp if p1[s] else b1)[ns1[s]]
+                          for s in range(8)])
+            m0 = treemax([a[s] + (bp if p0[s] else b1)[ns0[s]]
+                          for s in range(8)])
+            return m1 + gs - m0
+
+        # ---- interleaved masked training (pairs of trellis steps) -------
+        def train(i, carry):
+            a, b = carry
+            na = astep(astep(a, rows(2 * i)), rows(2 * i + 1))
+            nb = bstep(bstep(b, rows(s_all - 1 - 2 * i)),
+                       rows(s_all - 2 - 2 * i))
+            a = [jnp.where(m_a, x, y) for x, y in zip(na, a)]
+            b = [jnp.where(m_b, x, y) for x, y in zip(nb, b)]
+            return a, b
+
+        a = [a0[s] for s in range(8)]
+        b = [b0[s] for s in range(8)]
+        a, b = jax.lax.fori_loop(0, t2, train, (a, b))
+
+        # ---- phase 1: advance + store the first half of each chain ------
+        def phase1(j, carry):
+            a, b = carry
+            for s in range(8):
+                astore[pl.ds(j, 1), s] = a[s][None]
+                bstore[pl.ds(j, 1), s] = b[s][None]
+            a = astep(astep(a, rows(t_train + 2 * j)),
+                      rows(t_train + 2 * j + 1))
+            b = bstep(bstep(b, rows(t_train + l_win - 1 - 2 * j)),
+                      rows(t_train + l_win - 2 - 2 * j))
+            return norm(a), norm(b)
+
+        a, b = jax.lax.fori_loop(0, h, phase1, (a, b))
+
+        # ---- phase 2: advance + fused 4-LLR emission per iteration ------
+        def phase2(j, carry):
+            a, b = carry
+            # alpha side: a = alpha(2j); emit pair (2j, 2j+1) against the
+            # stored beta(2j+2) from beta-iteration l2-1-j
+            ca0 = rows(t_train + 2 * j)
+            ca1 = rows(t_train + 2 * j + 1)
+            bsl = [bstore[pl.ds(l2 - 1 - j, 1), s][0] for s in range(8)]
+            b1 = bstep(bsl, ca1)
+            out[pl.ds(j, 1), 0] = emit(a, b1, ca0)[None]
+            a_o = astep(a, ca0)
+            out[pl.ds(j, 1), 1] = emit(a_o, bsl, ca1)[None]
+            # beta side: b = beta(L-2j); emit pair e = L-2j-2 against the
+            # stored alpha(e) from alpha-iteration l2-1-j
+            cb1 = rows(t_train + l_win - 1 - 2 * j)   # row e+1
+            cb0 = rows(t_train + l_win - 2 - 2 * j)   # row e
+            b1b = bstep(b, cb1)                        # beta(e+1), on-chain
+            asl = [astore[pl.ds(l2 - 1 - j, 1), s][0] for s in range(8)]
+            out[pl.ds(l2 - 1 - j, 1), 0] = emit(asl, b1b, cb0)[None]
+            a_ob = astep(asl, cb0)
+            out[pl.ds(l2 - 1 - j, 1), 1] = emit(a_ob, b, cb1)[None]
+            # advance both chains
+            a = norm(astep(astep(a, ca0), ca1))
+            b = norm(bstep(b1b, cb0))
+            return a, b
+
+        jax.lax.fori_loop(h, l2, phase2, (a, b))
+
+    return kernel
+
+
+def map_windowed_pallas_v7(
+    gs_ext: jnp.ndarray,  # (L+2T, N) shared gamma (systematic+apriori)
+    gp_ext: jnp.ndarray,  # (L+2T, N) shared parity gamma
+    a_init: jnp.ndarray,  # (8, N)
+    b_init: jnp.ndarray,  # (8, N)
+    t_train: int,
+    l_win: int,
+    nof_b: int,
+    nof_w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused states-as-registers path (see _make_kernel_v7).
+    Returns LLRs (L, N), lanes in the caller's order."""
+    import os
+
+    steps, n = gs_ext.shape
+    assert steps == l_win + 2 * t_train and steps % 2 == 0
+    assert l_win % 4 == 0, "v7 splits the body at the midpoint"
+    l2 = l_win // 2
+    h = l2 // 2
+    tile_c = max(8, int(os.environ.get("TURBO_TILE_C", "256")))
+    # double-buffered blocks: gamma in + LLR out; scratch (stores) single
+    vmem_budget = 15 * 1024 * 1024
+    def _bytes(tc):
+        dbuf = 4 * tc * (steps * 2 * 8 + l2 * 2 * 8)
+        scratch = 4 * tc * (2 * h * 8 * 8 + 2 * 8 * 8)
+        return 2 * dbuf + scratch
+    while tile_c > 8 and _bytes(tile_c) > vmem_budget:
+        tile_c //= 2
+    if interpret:
+        tile_c = min(tile_c, 128)
+    fold = 8 * tile_c
+    if n % fold != 0:
+        pad = fold - n % fold
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
+        gs_ext, gp_ext = padf(gs_ext), padf(gp_ext)
+        a_init, b_init = padf(a_init), padf(b_init)
+    np_ = gs_ext.shape[1]
+    c = np_ // 8
+    g = jnp.stack([gs_ext.reshape(steps, 8, c),
+                   gp_ext.reshape(steps, 8, c)], axis=1)  # (S, 2, 8, C)
+    a0 = a_init.reshape(8, 8, c)
+    b0 = b_init.reshape(8, 8, c)
+
+    grid = (c // tile_c,)
+    spec_g = pl.BlockSpec((steps, 2, 8, tile_c), lambda i: (0, 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_i = pl.BlockSpec((8, 8, tile_c), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    kernel = _make_kernel_v7(t_train, l_win, tile_c, nof_b, nof_w)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_g, spec_i, spec_i],
+        out_specs=pl.BlockSpec((l2, 2, 8, tile_c),
+                               lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l2, 2, 8, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((h, 8, 8, tile_c), jnp.float32),
+            pltpu.VMEM((h, 8, 8, tile_c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g, a0, b0)
+    return out.reshape(l_win, np_)[:, :n]
+
+
 def map_windowed_pallas_v6(
     gs_ext: jnp.ndarray,  # (L+2T, N) shared gamma (systematic+apriori)
     gp_ext: jnp.ndarray,  # (L+2T, N) shared parity gamma

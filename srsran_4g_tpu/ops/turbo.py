@@ -380,7 +380,13 @@ def _map_windowed_pl_r4(lsa, lp, tail_sys, tail_par, win_len, train_len,
     b_exact = _exact_boundary_beta(tail_sys, tail_par)  # (B, 8)
     b_init = b_init.at[:, (w - 1) * b:].set(jnp.swapaxes(b_exact, 0, 1))
 
-    if version == "v6":
+    if version == "v7":
+        from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas_v7
+
+        llr = map_windowed_pallas_v7(
+            gs_ext, gp_ext, a_init, b_init, t, l, b, w, interpret=interpret
+        )
+    elif version == "v6":
         from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas_v6
 
         llr = map_windowed_pallas_v6(
@@ -416,7 +422,9 @@ def _map_windowed_pl(lsa, lp, tail_sys, tail_par, win_len, train_len,
     # at bench scale (v6's split emission measured slower at tile_c=128 and
     # OOMs scoped VMEM at tile_c=256; see tools/tpu_smoke.py gate).
     kern_ver = os.environ.get("TURBO_KERNEL", "v4")
-    if (kern_ver in ("v4", "v5", "v6") and win_len % 2 == 0
+    if kern_ver == "v7" and win_len % 4 != 0:
+        kern_ver = "v4"               # v7 needs a mid-point split
+    if (kern_ver in ("v4", "v5", "v6", "v7") and win_len % 2 == 0
             and train_len % 2 == 0 and train_len >= 2):
         return _map_windowed_pl_r4(lsa, lp, tail_sys, tail_par, win_len,
                                    train_len, interpret=interpret,

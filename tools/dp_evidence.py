@@ -1,0 +1,117 @@
+"""Honest data-parallel scaling evidence on ONE real TPU chip.
+
+The multi-chip story rests on: (a) SPMD correctness on the virtual CPU
+mesh (dryrun_multichip / artifacts/scaling.json — correctness only, its
+CPU timings measure host oversubscription, not scaling), and (b) the dp
+axis having no inter-chip dependency beyond a metrics psum.  This tool
+adds the single-chip measurements that anchor (b):
+
+1. batch-size saturation: headline pipeline throughput vs batch — if
+   sf/s has plateaued by batch B*, then B >= B* per chip keeps every
+   chip at its measured single-chip rate and dp scaling is limited only
+   by the psum (bytes: 3 floats per step);
+2. two-program concurrency: two alternating jitted programs on the one
+   chip (the serving pattern when two independent streams share a chip)
+   — aggregate sf/s vs single-stream, quantifying scheduler overhead.
+
+Writes artifacts/dp_evidence.json and prints a summary table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from srsran_4g_tpu.channel.awgn import awgn, snr_to_noise_var
+    from srsran_4g_tpu.models import grid as G, pdsch
+
+    cell = G.CellConfig(nof_prb=100, cell_id=123, cfi=1)
+    cfg = pdsch.PdschConfig(cell=cell, rnti=0x1234, subframe=4,
+                            mod="64qam", tbs=75376)
+    rng = np.random.default_rng(0)
+    n_iter = int(os.environ.get("BENCH_TURBO_ITERS", "4"))
+    reps = int(os.environ.get("BENCH_REPS", "16"))
+
+    def build(batch):
+        bits = jnp.asarray(rng.integers(0, 2, (batch, cfg.tbs))
+                           .astype(np.int8))
+
+        @jax.jit
+        def make_rx(bits, key):
+            tx = pdsch.add_crs(cfg, pdsch.encode(cfg, bits))
+            return awgn(key, tx, snr_to_noise_var(30.0))
+
+        rx = jax.block_until_ready(make_rx(bits, jax.random.PRNGKey(1)))
+
+        @jax.jit
+        def rx_step(rx_grid):
+            out = pdsch.decode(cfg, rx_grid, n_iter=n_iter)
+            return jnp.sum(out["crc_ok"].astype(jnp.float32))
+
+        n_ok = float(rx_step(rx))   # compile + warm
+        assert n_ok == batch
+        return rx, rx_step
+
+    results = {"batch_sweep": [], "concurrency": {}}
+
+    # 1. batch saturation
+    batches = [int(b) for b in os.environ.get(
+        "DP_BATCHES", "16,32,64,128,192,256").split(",")]
+    for batch in batches:
+        rx, step = build(batch)
+        t0 = time.perf_counter()
+        outs = [step(rx) for _ in range(reps)]
+        float(outs[-1])
+        dt = time.perf_counter() - t0
+        sf_s = batch * reps / dt
+        results["batch_sweep"].append({"batch": batch,
+                                       "sf_per_s": round(sf_s, 1)})
+        print(f"batch {batch:4d}: {sf_s:9.1f} sf/s", file=sys.stderr)
+        jax.clear_caches()
+
+    # 2. two alternating programs on one chip (half batch each so the
+    # total in-flight work matches the single-stream case)
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    rx_a, step_a = build(batch // 2)
+    rx_b, step_b = build(batch // 2)
+    t0 = time.perf_counter()
+    outs = []
+    for _ in range(reps):
+        outs.append(step_a(rx_a))
+        outs.append(step_b(rx_b))
+    float(outs[-1])
+    dt = time.perf_counter() - t0
+    agg = batch * reps / dt
+    rx_s, step_s = build(batch)
+    t0 = time.perf_counter()
+    outs = [step_s(rx_s) for _ in range(reps)]
+    float(outs[-1])
+    single = batch * reps / (time.perf_counter() - t0)
+    results["concurrency"] = {
+        "single_stream_sf_per_s": round(single, 1),
+        "two_stream_aggregate_sf_per_s": round(agg, 1),
+        "overhead_pct": round(100 * (1 - agg / single), 1),
+    }
+    print(f"single-stream {single:.1f} sf/s vs two-stream aggregate "
+          f"{agg:.1f} sf/s ({results['concurrency']['overhead_pct']}% "
+          "overhead)", file=sys.stderr)
+
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/dp_evidence.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
