@@ -416,12 +416,13 @@ def _map_windowed_pl(lsa, lp, tail_sys, tail_par, win_len, train_len,
     `_map_windowed`, sequential work moved into one Mosaic program)."""
     import os
 
-    # Default kernel: v4 (single-chain radix-4 with fused emission) — the
-    # fastest *verified* kernel at the bench shape (14,424 sf/s on v5e-1).
-    # v5/v6 are opt-in via TURBO_KERNEL until their sweep kernels beat v4
-    # at bench scale (v6's split emission measured slower at tile_c=128 and
-    # OOMs scoped VMEM at tile_c=256; see tools/tpu_smoke.py gate).
-    kern_ver = os.environ.get("TURBO_KERNEL", "v4")
+    # Default kernel: v7 (states-as-registers, interleaved chains, fused
+    # two-phase emission) — measured fastest at the bench shape on v5e-1:
+    # half-iteration 3.83 ms vs v4's 5.30 ms, headline 15,424 sf/s vs
+    # 14,787 (round 4).  All selectable kernels are covered by the
+    # interpret-mode parity matrix AND tools/tpu_smoke.py at the real
+    # bench shapes — the round-3 unverified-default-flip cannot recur.
+    kern_ver = os.environ.get("TURBO_KERNEL", "v7")
     if kern_ver == "v7" and win_len % 4 != 0:
         kern_ver = "v4"               # v7 needs a mid-point split
     if (kern_ver in ("v4", "v5", "v6", "v7") and win_len % 2 == 0

@@ -114,11 +114,18 @@ def main() -> int:
         print("tpu_smoke: WARNING running on CPU backend — VMEM limits and "
               "Mosaic lowering are NOT exercised; run on the TPU rig.",
               file=sys.stderr)
+    # the MIMO compile alone takes ~20 min on the axon tunnel, so it runs
+    # only for the production-default kernel; every kernel still compiles
+    # + runs at the SISO bench shape (the VMEM-OOM class that broke
+    # round 3 shows up there)
+    default_kern = "v7"
     failures = []
     for kern in kernels:
         os.environ["TURBO_KERNEL"] = kern
-        for name, fn, batch in (("siso", run_siso, 128),
-                                ("mimo", run_mimo, 64)):
+        shapes = [("siso", run_siso, 128)]
+        if kern == default_kern:
+            shapes.append(("mimo", run_mimo, 64))
+        for name, fn, batch in shapes:
             tag = f"{kern}/{name}"
             try:
                 jax.clear_caches()  # force recompile under the new kernel
