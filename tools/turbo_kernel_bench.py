@@ -59,8 +59,17 @@ def main():
         # kernel alone, gamma streams prebuilt on device
         w = K // WIN
         n = B * w
-        ver = os.environ.get("TURBO_KERNEL", "v4")
-        if ver == "v4":
+        # default matches the production default in ops/turbo.py
+        ver = os.environ.get("TURBO_KERNEL", "v7")
+        if ver == "v7":
+            from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas_v7
+            g = jnp.asarray(rng.normal(0, 4.0, (WIN + 2 * TRAIN, n))
+                            .astype(np.float32))
+            a0 = jnp.asarray(rng.normal(0, 1.0, (8, n)).astype(np.float32))
+            kern = jax.jit(lambda gg, aa: jnp.sum(map_windowed_pallas_v7(
+                gg, gg, aa, aa, TRAIN, WIN, B, w)))
+            timeit("pallas kernel only (v7)", kern, g, a0)
+        elif ver == "v4":
             from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas_r4
             g = jnp.asarray(rng.normal(0, 4.0, (WIN + 2 * TRAIN, n))
                             .astype(np.float32))
