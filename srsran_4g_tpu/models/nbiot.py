@@ -286,7 +286,11 @@ def npbch_decode(cell_id: int, rx_grid: jnp.ndarray, block_idx: int = 0,
 
 
 def mib_nb_unpack(mib: np.ndarray) -> dict:
-    """MIB-NB field unpack (TS 36.331 §6.7.2, reference npbch.c:204-214)."""
+    """MIB-NB field unpack (TS 36.331 §6.7.2, reference npbch.c:204-214).
+
+    Quick field access for capture tests; the 3GPP-exact full codec
+    (incl. the operation-mode CHOICE bodies and r15-r17 fields) is
+    `stack/rrc_nbiot.MibNb`, byte-exact vs the reference's rrc_nbiot.cc."""
     bits = np.asarray(mib).astype(np.int64)
 
     def take(o, n):

@@ -11,8 +11,7 @@ NO_TPU=${1:-}
 
 echo "=== stage 1: native runtime build + TSAN race gate ==="
 make -C native
-make -C native tsan
-./native/ring_tsan_test
+make -C native tsan   # builds AND runs rt_test_tsan under TSAN
 
 echo "=== stage 2: pytest suite (virtual 8-device CPU mesh) ==="
 python -m pytest tests/ -q
