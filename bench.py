@@ -62,8 +62,9 @@ def main() -> None:
     )
     import os
 
-    # batch sweep on v5e: 32→787, 64→1700, 128→2081, 256→1846 sf/s;
-    # 128 amortises dispatch/tunnel latency without spilling
+    # batch sweep on v5e (round 4, artifacts/dp_evidence.json): 32→4792,
+    # 64→9925, 96→12765, 128→14182 (plateau), 160→11912 sf/s; above ~160
+    # the axon backend miscompiles the fused graph (see ARCHITECTURE.md)
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     n_iter = int(os.environ.get("BENCH_TURBO_ITERS", "4"))
     iters = int(os.environ.get("BENCH_REPS", "32"))
