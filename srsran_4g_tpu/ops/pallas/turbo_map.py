@@ -639,7 +639,7 @@ def _make_emit_kernel_v6(j_blk: int):
 
 
 def _make_kernel_v7(t_train: int, l_win: int, tile_c: int,
-                    nof_b: int, nof_w: int):
+                    nof_b: int, nof_w: int, radix4: bool = False):
     """States-as-registers radix-2 kernel with FUSED two-phase emission.
 
     v6's sweep eliminated the `_restack` bottleneck but paid for it with
@@ -667,6 +667,13 @@ def _make_kernel_v7(t_train: int, l_win: int, tile_c: int,
     ns1 = [int(v) for v in t["ns"][:, 1]]
     p0 = [int(v) for v in t["par"][:, 0]]
     p1 = [int(v) for v in t["par"][:, 1]]
+    r4 = _tables_r4()
+    a2_pred = [[int(v) for v in r4["a2_pred"][s]] for s in range(8)]
+    a2_k = [[2 * int(r4["a2_p1"][s][j]) + int(r4["a2_p2"][s][j])
+             for j in range(4)] for s in range(8)]
+    b4_ns = [[int(v) for v in r4["b_ns"][s]] for s in range(8)]
+    b4_k = [[2 * int(r4["b_p1"][s][j]) + int(r4["b_p2"][s][j])
+             for j in range(4)] for s in range(8)]
     t2, l2 = t_train // 2, l_win // 2
     h = l2 // 2
     s_all = l_win + 2 * t_train
@@ -723,12 +730,63 @@ def _make_kernel_v7(t_train: int, l_win: int, tile_c: int,
                           for s in range(8)])
             return m1 + gs - m0
 
+        # ---- radix-4: one fused two-step ACS (chain depth 3 vs 4) -------
+        def combos4(c0, c1):
+            """Memoised u-row + parity-row sums for one row pair."""
+            u = (None, c1[1], c0[1], c0[1] + c1[1])
+            p = (None, c1[2], c0[2], c0[2] + c1[2])
+            cache = {}
+
+            def get(j, k):
+                if (j, k) not in cache:
+                    a, b = u[j], p[k]
+                    cache[(j, k)] = (b if a is None else
+                                     (a if b is None else a + b))
+                return cache[(j, k)]
+            return get
+
+        def astep4(a, get):
+            out = []
+            for s in range(8):
+                cs = []
+                for j in range(4):
+                    c = get(j, a2_k[s][j])
+                    x = a[a2_pred[s][j]]
+                    cs.append(x if c is None else x + c)
+                out.append(jnp.maximum(jnp.maximum(cs[0], cs[1]),
+                                       jnp.maximum(cs[2], cs[3])))
+            return out
+
+        def bstep4(b, get):
+            out = []
+            for s in range(8):
+                cs = []
+                for j in range(4):
+                    c = get(j, b4_k[s][j])
+                    x = b[b4_ns[s][j]]
+                    cs.append(x if c is None else x + c)
+                out.append(jnp.maximum(jnp.maximum(cs[0], cs[1]),
+                                       jnp.maximum(cs[2], cs[3])))
+            return out
+
+        def advance_a(a, c0, c1):
+            if radix4:
+                return astep4(a, combos4(c0, c1))
+            return astep(astep(a, c0), c1)
+
+        def advance_b(b, c0, c1):
+            # c0/c1 = rows (even, even+1) of the pair; beta moves from
+            # k_rel = even+2 down to even
+            if radix4:
+                return bstep4(b, combos4(c0, c1))
+            return bstep(bstep(b, c1), c0)
+
         # ---- interleaved masked training (pairs of trellis steps) -------
         def train(i, carry):
             a, b = carry
-            na = astep(astep(a, rows(2 * i)), rows(2 * i + 1))
-            nb = bstep(bstep(b, rows(s_all - 1 - 2 * i)),
-                       rows(s_all - 2 - 2 * i))
+            na = advance_a(a, rows(2 * i), rows(2 * i + 1))
+            nb = advance_b(b, rows(s_all - 2 - 2 * i),
+                           rows(s_all - 1 - 2 * i))
             a = [jnp.where(m_a, x, y) for x, y in zip(na, a)]
             b = [jnp.where(m_b, x, y) for x, y in zip(nb, b)]
             return a, b
@@ -743,10 +801,10 @@ def _make_kernel_v7(t_train: int, l_win: int, tile_c: int,
             for s in range(8):
                 astore[pl.ds(j, 1), s] = a[s][None]
                 bstore[pl.ds(j, 1), s] = b[s][None]
-            a = astep(astep(a, rows(t_train + 2 * j)),
-                      rows(t_train + 2 * j + 1))
-            b = bstep(bstep(b, rows(t_train + l_win - 1 - 2 * j)),
-                      rows(t_train + l_win - 2 - 2 * j))
+            a = advance_a(a, rows(t_train + 2 * j),
+                          rows(t_train + 2 * j + 1))
+            b = advance_b(b, rows(t_train + l_win - 2 - 2 * j),
+                          rows(t_train + l_win - 1 - 2 * j))
             return norm(a), norm(b)
 
         a, b = jax.lax.fori_loop(0, h, phase1, (a, b))
@@ -767,14 +825,15 @@ def _make_kernel_v7(t_train: int, l_win: int, tile_c: int,
             # stored alpha(e) from alpha-iteration l2-1-j
             cb1 = rows(t_train + l_win - 1 - 2 * j)   # row e+1
             cb0 = rows(t_train + l_win - 2 - 2 * j)   # row e
-            b1b = bstep(b, cb1)                        # beta(e+1), on-chain
+            b1b = bstep(b, cb1)          # beta(e+1); off-chain when radix4
             asl = [astore[pl.ds(l2 - 1 - j, 1), s][0] for s in range(8)]
             out[pl.ds(l2 - 1 - j, 1), 0] = emit(asl, b1b, cb0)[None]
             a_ob = astep(asl, cb0)
             out[pl.ds(l2 - 1 - j, 1), 1] = emit(a_ob, b, cb1)[None]
             # advance both chains
-            a = norm(astep(astep(a, ca0), ca1))
-            b = norm(bstep(b1b, cb0))
+            a = norm(advance_a(a, ca0, ca1))
+            b = norm(bstep(b1b, cb0) if not radix4
+                     else advance_b(b, cb0, cb1))
             return a, b
 
         jax.lax.fori_loop(h, l2, phase2, (a, b))
@@ -792,8 +851,10 @@ def map_windowed_pallas_v7(
     nof_b: int,
     nof_w: int,
     interpret: bool = False,
+    radix4: bool = False,
 ) -> jnp.ndarray:
-    """Fused states-as-registers path (see _make_kernel_v7).
+    """Fused states-as-registers path (see _make_kernel_v7); radix4=True
+    selects the v8 variant (fused two-step ACS, chain depth 3 vs 4).
     Returns LLRs (L, N), lanes in the caller's order."""
     import os
 
@@ -831,7 +892,8 @@ def map_windowed_pallas_v7(
                           memory_space=pltpu.VMEM)
     spec_i = pl.BlockSpec((8, 8, tile_c), lambda i: (0, 0, i),
                           memory_space=pltpu.VMEM)
-    kernel = _make_kernel_v7(t_train, l_win, tile_c, nof_b, nof_w)
+    kernel = _make_kernel_v7(t_train, l_win, tile_c, nof_b, nof_w,
+                             radix4=radix4)
     out = pl.pallas_call(
         kernel,
         grid=grid,

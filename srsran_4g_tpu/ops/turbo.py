@@ -380,11 +380,12 @@ def _map_windowed_pl_r4(lsa, lp, tail_sys, tail_par, win_len, train_len,
     b_exact = _exact_boundary_beta(tail_sys, tail_par)  # (B, 8)
     b_init = b_init.at[:, (w - 1) * b:].set(jnp.swapaxes(b_exact, 0, 1))
 
-    if version == "v7":
+    if version in ("v7", "v8"):
         from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas_v7
 
         llr = map_windowed_pallas_v7(
-            gs_ext, gp_ext, a_init, b_init, t, l, b, w, interpret=interpret
+            gs_ext, gp_ext, a_init, b_init, t, l, b, w, interpret=interpret,
+            radix4=(version == "v8")
         )
     elif version == "v6":
         from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas_v6
@@ -423,9 +424,9 @@ def _map_windowed_pl(lsa, lp, tail_sys, tail_par, win_len, train_len,
     # interpret-mode parity matrix AND tools/tpu_smoke.py at the real
     # bench shapes — the round-3 unverified-default-flip cannot recur.
     kern_ver = os.environ.get("TURBO_KERNEL", "v7")
-    if kern_ver == "v7" and win_len % 4 != 0:
-        kern_ver = "v4"               # v7 needs a mid-point split
-    if (kern_ver in ("v4", "v5", "v6", "v7") and win_len % 2 == 0
+    if kern_ver in ("v7", "v8") and win_len % 4 != 0:
+        kern_ver = "v4"               # v7/v8 need a mid-point split
+    if (kern_ver in ("v4", "v5", "v6", "v7", "v8") and win_len % 2 == 0
             and train_len % 2 == 0 and train_len >= 2):
         return _map_windowed_pl_r4(lsa, lp, tail_sys, tail_par, win_len,
                                    train_len, interpret=interpret,

@@ -10,7 +10,7 @@ import pytest
 
 from srsran_4g_tpu.ops import turbo
 
-KERNELS = ["v4", "v5", "v6", "v7"]
+KERNELS = ["v4", "v5", "v6", "v7", "v8"]
 
 
 @pytest.mark.parametrize("kernel", KERNELS)

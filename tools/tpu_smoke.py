@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-KERNELS = ("v4", "v5", "v6", "v7")
+KERNELS = ("v4", "v5", "v6", "v7", "v8")
 
 
 def run_siso(batch: int) -> tuple[float, float]:
