@@ -561,9 +561,26 @@ def _make_kernel_v6(t_train: int, l_win: int, tile_c: int,
             b = [jnp.where(m_b, x, y) for x, y in zip(nb, b)]
             return a, b
 
+        def unrolled(lo, hi, body, carry):
+            # manual unroll (Mosaic's fori_loop only lowers unroll=1 or
+            # full): keeps the 16 loop-carried state tiles in vregs
+            # across the unrolled span instead of a VMEM round-trip per
+            # iteration
+            n, u = hi - lo, unroll
+            while n % u:
+                u -= 1
+            if u <= 1:
+                return jax.lax.fori_loop(lo, hi, body, carry)
+
+            def blk(i, c):
+                for k in range(u):
+                    c = body(lo + i * u + k, c)
+                return c
+            return jax.lax.fori_loop(0, n // u, blk, carry)
+
         a = [a0[s] for s in range(8)]
         b = [b0[s] for s in range(8)]
-        a, b = jax.lax.fori_loop(0, t2, train, (a, b))
+        a, b = unrolled(0, t2, train, (a, b))
 
         # ---- interleaved body: store even-k metrics, 2 steps per iter ---
         def body(j, carry):
@@ -639,7 +656,9 @@ def _make_emit_kernel_v6(j_blk: int):
 
 
 def _make_kernel_v7(t_train: int, l_win: int, tile_c: int,
-                    nof_b: int, nof_w: int, radix4: bool = False):
+                    nof_b: int, nof_w: int, radix4: bool = False,
+                    n_sub: int = 8, train_norm: bool = False,
+                    unroll: int = 1):
     """States-as-registers radix-2 kernel with FUSED two-phase emission.
 
     v6's sweep eliminated the `_restack` bottleneck but paid for it with
@@ -679,9 +698,9 @@ def _make_kernel_v7(t_train: int, l_win: int, tile_c: int,
     s_all = l_win + 2 * t_train
 
     def kernel(g, a0, b0, out, astore, bstore):
-        # g: (S, 2, 8, C); [r, 0] = systematic(+apriori), [r, 1] = parity
-        col = jax.lax.broadcasted_iota(jnp.int32, (8, tile_c), 1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (8, tile_c), 0)
+        # g: (S, 2, n_sub, C); [r, 0] = systematic(+apriori), [r, 1] = parity
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_sub, tile_c), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (n_sub, tile_c), 0)
         lane = (sub * (pl.num_programs(0) * tile_c)
                 + pl.program_id(0) * tile_c + col)
         m_a = lane >= nof_b                  # train-freeze: window 0
@@ -787,13 +806,37 @@ def _make_kernel_v7(t_train: int, l_win: int, tile_c: int,
             na = advance_a(a, rows(2 * i), rows(2 * i + 1))
             nb = advance_b(b, rows(s_all - 2 - 2 * i),
                            rows(s_all - 1 - 2 * i))
+            if train_norm:
+                # bf16 (v9): keep absolute metric magnitude at the state
+                # SPREAD, not the accumulated path sum — otherwise 2T
+                # un-normalised steps push metrics past the point where
+                # the bf16 quantum (2^-8 relative) swamps the ~1-scale
+                # differences that decide the max-log path.
+                na, nb = norm(na), norm(nb)
             a = [jnp.where(m_a, x, y) for x, y in zip(na, a)]
             b = [jnp.where(m_b, x, y) for x, y in zip(nb, b)]
             return a, b
 
+        def unrolled(lo, hi, body, carry):
+            # manual unroll (Mosaic's fori_loop only lowers unroll=1 or
+            # full): keeps the 16 loop-carried state tiles in vregs
+            # across the unrolled span instead of a VMEM round-trip per
+            # iteration
+            n, u = hi - lo, unroll
+            while n % u:
+                u -= 1
+            if u <= 1:
+                return jax.lax.fori_loop(lo, hi, body, carry)
+
+            def blk(i, c):
+                for k in range(u):
+                    c = body(lo + i * u + k, c)
+                return c
+            return jax.lax.fori_loop(0, n // u, blk, carry)
+
         a = [a0[s] for s in range(8)]
         b = [b0[s] for s in range(8)]
-        a, b = jax.lax.fori_loop(0, t2, train, (a, b))
+        a, b = unrolled(0, t2, train, (a, b))
 
         # ---- phase 1: advance + store the first half of each chain ------
         def phase1(j, carry):
@@ -807,7 +850,7 @@ def _make_kernel_v7(t_train: int, l_win: int, tile_c: int,
                           rows(t_train + l_win - 1 - 2 * j))
             return norm(a), norm(b)
 
-        a, b = jax.lax.fori_loop(0, h, phase1, (a, b))
+        a, b = unrolled(0, h, phase1, (a, b))
 
         # ---- phase 2: advance + fused 4-LLR emission per iteration ------
         def phase2(j, carry):
@@ -818,25 +861,27 @@ def _make_kernel_v7(t_train: int, l_win: int, tile_c: int,
             ca1 = rows(t_train + 2 * j + 1)
             bsl = [bstore[pl.ds(l2 - 1 - j, 1), s][0] for s in range(8)]
             b1 = bstep(bsl, ca1)
-            out[pl.ds(j, 1), 0] = emit(a, b1, ca0)[None]
+            out[pl.ds(j, 1), 0] = emit(a, b1, ca0)[None].astype(jnp.float32)
             a_o = astep(a, ca0)
-            out[pl.ds(j, 1), 1] = emit(a_o, bsl, ca1)[None]
+            out[pl.ds(j, 1), 1] = emit(a_o, bsl, ca1)[None].astype(jnp.float32)
             # beta side: b = beta(L-2j); emit pair e = L-2j-2 against the
             # stored alpha(e) from alpha-iteration l2-1-j
             cb1 = rows(t_train + l_win - 1 - 2 * j)   # row e+1
             cb0 = rows(t_train + l_win - 2 - 2 * j)   # row e
             b1b = bstep(b, cb1)          # beta(e+1); off-chain when radix4
             asl = [astore[pl.ds(l2 - 1 - j, 1), s][0] for s in range(8)]
-            out[pl.ds(l2 - 1 - j, 1), 0] = emit(asl, b1b, cb0)[None]
+            out[pl.ds(l2 - 1 - j, 1), 0] = (
+                emit(asl, b1b, cb0)[None].astype(jnp.float32))
             a_ob = astep(asl, cb0)
-            out[pl.ds(l2 - 1 - j, 1), 1] = emit(a_ob, b, cb1)[None]
+            out[pl.ds(l2 - 1 - j, 1), 1] = (
+                emit(a_ob, b, cb1)[None].astype(jnp.float32))
             # advance both chains
             a = norm(advance_a(a, ca0, ca1))
             b = norm(bstep(b1b, cb0) if not radix4
                      else advance_b(b, cb0, cb1))
             return a, b
 
-        jax.lax.fori_loop(h, l2, phase2, (a, b))
+        unrolled(h, l2, phase2, (a, b))
 
     return kernel
 
@@ -905,6 +950,86 @@ def map_windowed_pallas_v7(
         scratch_shapes=[
             pltpu.VMEM((h, 8, 8, tile_c), jnp.float32),
             pltpu.VMEM((h, 8, 8, tile_c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g, a0, b0)
+    return out.reshape(l_win, np_)[:, :n]
+
+
+def map_windowed_pallas_v9(
+    gs_ext: jnp.ndarray,  # (L+2T, N) shared gamma (systematic+apriori)
+    gp_ext: jnp.ndarray,  # (L+2T, N) shared parity gamma
+    a_init: jnp.ndarray,  # (8, N)
+    b_init: jnp.ndarray,  # (8, N)
+    t_train: int,
+    l_win: int,
+    nof_b: int,
+    nof_w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """bf16 lane-paired v7: the same fused states-as-registers dataflow
+    with the lane dim folded to SIXTEEN sublanes per bf16 vreg (16, C)
+    instead of eight f32 (8, C) — tools/turbo_probe7.py measured packed
+    bf16 elementwise at 1.95x f32 element throughput on the VPU, so each
+    ACS/max op advances 2x the code-block lanes.  Metrics are normalised
+    every pair of trellis steps INCLUDING training (see train_norm in
+    _make_kernel_v7) so values stay at the state-spread scale where the
+    bf16 quantum (~2^-8 relative) is far below the max-log decision
+    margins; LLRs are emitted in f32.  Mirrors the reference's reduced-
+    precision decoders (turbodecoder.c:35-90 16-bit/8-bit SSE-AVX
+    paths).  Returns LLRs (L, N), lanes in the caller's order."""
+    import os
+
+    steps, n = gs_ext.shape
+    assert steps == l_win + 2 * t_train and steps % 2 == 0
+    assert l_win % 4 == 0, "v9 splits the body at the midpoint"
+    l2 = l_win // 2
+    h = l2 // 2
+    tile_c = max(8, int(os.environ.get("TURBO_TILE_C", "256")))
+    # double-buffered blocks: gamma in (bf16) + LLR out (f32); scratch
+    # (bf16 stores) single-buffered
+    vmem_budget = 15 * 1024 * 1024
+    def _bytes(tc):
+        dbuf = tc * (steps * 2 * 16 * 2 + l2 * 2 * 16 * 4)
+        scratch = tc * (2 * h * 8 * 16 * 2 + 2 * 8 * 16 * 2)
+        return 2 * dbuf + scratch
+    while tile_c > 8 and _bytes(tile_c) > vmem_budget:
+        tile_c //= 2
+    if interpret:
+        tile_c = min(tile_c, 128)
+    fold = 16 * tile_c
+    if n % fold != 0:
+        pad = fold - n % fold
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
+        gs_ext, gp_ext = padf(gs_ext), padf(gp_ext)
+        a_init, b_init = padf(a_init), padf(b_init)
+    np_ = gs_ext.shape[1]
+    c = np_ // 16
+    bf = jnp.bfloat16
+    g = jnp.stack([gs_ext.reshape(steps, 16, c),
+                   gp_ext.reshape(steps, 16, c)], axis=1).astype(bf)
+    a0 = a_init.reshape(8, 16, c).astype(bf)
+    b0 = b_init.reshape(8, 16, c).astype(bf)
+
+    grid = (c // tile_c,)
+    spec_g = pl.BlockSpec((steps, 2, 16, tile_c), lambda i: (0, 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_i = pl.BlockSpec((8, 16, tile_c), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    unroll = max(1, int(os.environ.get("TURBO_UNROLL", "1")))
+    kernel = _make_kernel_v7(t_train, l_win, tile_c, nof_b, nof_w,
+                             n_sub=16, train_norm=True, unroll=unroll)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_g, spec_i, spec_i],
+        out_specs=pl.BlockSpec((l2, 2, 16, tile_c),
+                               lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l2, 2, 16, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((h, 8, 16, tile_c), bf),
+            pltpu.VMEM((h, 8, 16, tile_c), bf),
         ],
         interpret=interpret,
     )(g, a0, b0)

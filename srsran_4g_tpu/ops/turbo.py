@@ -380,7 +380,13 @@ def _map_windowed_pl_r4(lsa, lp, tail_sys, tail_par, win_len, train_len,
     b_exact = _exact_boundary_beta(tail_sys, tail_par)  # (B, 8)
     b_init = b_init.at[:, (w - 1) * b:].set(jnp.swapaxes(b_exact, 0, 1))
 
-    if version in ("v7", "v8"):
+    if version == "v9":
+        from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas_v9
+
+        llr = map_windowed_pallas_v9(
+            gs_ext, gp_ext, a_init, b_init, t, l, b, w, interpret=interpret
+        )
+    elif version in ("v7", "v8"):
         from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas_v7
 
         llr = map_windowed_pallas_v7(
@@ -417,16 +423,17 @@ def _map_windowed_pl(lsa, lp, tail_sys, tail_par, win_len, train_len,
     `_map_windowed`, sequential work moved into one Mosaic program)."""
     import os
 
-    # Default kernel: v7 (states-as-registers, interleaved chains, fused
-    # two-phase emission) — measured fastest at the bench shape on v5e-1:
-    # half-iteration 3.83 ms vs v4's 5.30 ms, headline 15,424 sf/s vs
-    # 14,787 (round 4).  All selectable kernels are covered by the
-    # interpret-mode parity matrix AND tools/tpu_smoke.py at the real
-    # bench shapes — the round-3 unverified-default-flip cannot recur.
-    kern_ver = os.environ.get("TURBO_KERNEL", "v7")
-    if kern_ver in ("v7", "v8") and win_len % 4 != 0:
-        kern_ver = "v4"               # v7/v8 need a mid-point split
-    if (kern_ver in ("v4", "v5", "v6", "v7", "v8") and win_len % 2 == 0
+    # Default kernel: v9 (bf16 lane-paired v7: states-as-registers,
+    # interleaved chains, fused two-phase emission, 16 sublanes/vreg) —
+    # measured fastest at the bench shape on v5e-1: half-iteration
+    # 3.55 ms vs v7's 3.98 and v4's 5.30 (round 4).  All selectable
+    # kernels are covered by the interpret-mode parity matrix AND
+    # tools/tpu_smoke.py at the real bench shapes — the round-3
+    # unverified-default-flip cannot recur.
+    kern_ver = os.environ.get("TURBO_KERNEL", "v9")
+    if kern_ver in ("v7", "v8", "v9") and win_len % 4 != 0:
+        kern_ver = "v4"               # v7/v8/v9 need a mid-point split
+    if (kern_ver in ("v4", "v5", "v6", "v7", "v8", "v9") and win_len % 2 == 0
             and train_len % 2 == 0 and train_len >= 2):
         return _map_windowed_pl_r4(lsa, lp, tail_sys, tail_par, win_len,
                                    train_len, interpret=interpret,

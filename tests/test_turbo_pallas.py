@@ -10,7 +10,7 @@ import pytest
 
 from srsran_4g_tpu.ops import turbo
 
-KERNELS = ["v4", "v5", "v6", "v7", "v8"]
+KERNELS = ["v4", "v5", "v6", "v7", "v8", "v9"]
 
 
 @pytest.mark.parametrize("kernel", KERNELS)
@@ -26,7 +26,15 @@ def test_pallas_matches_xla(k, l, t, kernel, monkeypatch):
     h_p, a_p = turbo.turbo_decode(
         llr, n_iter=2, window=l, train=t, backend="pallas_interpret"
     )
-    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x), atol=1e-3)
+    if kernel == "v9":
+        # bf16 lane-paired kernel: metrics carry the bf16 quantum, so
+        # LLRs match the f32 reference to ~the quantisation scale and
+        # hard decisions must agree exactly at this operating point
+        np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x),
+                                   atol=2.5)
+        assert float(np.abs(np.asarray(a_p) - np.asarray(a_x)).mean()) < 0.5
+    else:
+        np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x), atol=1e-3)
     np.testing.assert_array_equal(np.asarray(h_p), np.asarray(h_x))
 
 

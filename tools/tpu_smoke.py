@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-KERNELS = ("v4", "v5", "v6", "v7", "v8")
+KERNELS = ("v4", "v5", "v6", "v7", "v8", "v9")
 
 
 def run_siso(batch: int) -> tuple[float, float]:
@@ -118,7 +118,7 @@ def main() -> int:
     # only for the production-default kernel; every kernel still compiles
     # + runs at the SISO bench shape (the VMEM-OOM class that broke
     # round 3 shows up there)
-    default_kern = "v7"
+    default_kern = "v9"
     failures = []
     for kern in kernels:
         os.environ["TURBO_KERNEL"] = kern
