@@ -138,7 +138,7 @@ def dlsch_decode(
     llrs: jnp.ndarray,
     softbuffers: dict[int, jnp.ndarray] | None = None,
     n_iter: int = 5,
-    window: int | None = 128,
+    window: int | None = 208,
     early_stop: bool = True,
     cb_shard: tuple[str, int] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict[int, jnp.ndarray]]:

@@ -561,26 +561,9 @@ def _make_kernel_v6(t_train: int, l_win: int, tile_c: int,
             b = [jnp.where(m_b, x, y) for x, y in zip(nb, b)]
             return a, b
 
-        def unrolled(lo, hi, body, carry):
-            # manual unroll (Mosaic's fori_loop only lowers unroll=1 or
-            # full): keeps the 16 loop-carried state tiles in vregs
-            # across the unrolled span instead of a VMEM round-trip per
-            # iteration
-            n, u = hi - lo, unroll
-            while n % u:
-                u -= 1
-            if u <= 1:
-                return jax.lax.fori_loop(lo, hi, body, carry)
-
-            def blk(i, c):
-                for k in range(u):
-                    c = body(lo + i * u + k, c)
-                return c
-            return jax.lax.fori_loop(0, n // u, blk, carry)
-
         a = [a0[s] for s in range(8)]
         b = [b0[s] for s in range(8)]
-        a, b = unrolled(0, t2, train, (a, b))
+        a, b = jax.lax.fori_loop(0, t2, train, (a, b))
 
         # ---- interleaved body: store even-k metrics, 2 steps per iter ---
         def body(j, carry):

@@ -488,7 +488,7 @@ def _map_windowed_pl(lsa, lp, tail_sys, tail_par, win_len, train_len,
 def turbo_decode(
     d_llr: jnp.ndarray,
     n_iter: int = 5,
-    window: int | None = 128,
+    window: int | None = 208,
     train: int = 32,
     ext_scale: float = 0.75,
     backend: str = "auto",
