@@ -526,7 +526,7 @@ class EnbNode:
             idx = len(self.pucch_res)
             self.pucch_res[rnti] = (self.air.cch.n_cce + 2 + idx, idx)
 
-    def rx_ul(self, tti: int, ul_samples) -> None:
+    def rx_ul(self, tti: int, ul_samples, pucch_scan: bool = True) -> None:
         from srsran_4g_tpu.models.phich import phich_alloc
 
         air, stats, sf = self.air, self.stats, tti % 10
@@ -553,7 +553,12 @@ class EnbNode:
         for _, rnti, pid, n_pucch, cc in acks:
             r = air.enb_pucch_ack_rx(ul_grid, n_pucch, sf=sf)
             self.mac.dl_ack_info(rnti, pid, bool(r), cc=cc)
-        # SR + CQI on the attached UEs' assigned PUCCH resources
+        # SR + CQI on the attached UEs' assigned PUCCH resources.  On a
+        # PRACH-detected subframe the preamble occupies the PUCCH region
+        # (a 6-PRB cell's preamble spans the whole band), so the caller
+        # disables the blind scan there to avoid false SR detections.
+        if not pucch_scan:
+            return
         cqi_due = (tti % 20) == 5
         for rnti, (n_sr, n_2) in self.pucch_res.items():
             if air.enb_sr_rx(ul_grid, n_sr, sf=sf):

@@ -140,15 +140,23 @@ def main(argv: list[str] | None = None) -> int:
         dl_samples, _ = enb.step_dl(tti)
         dl_tx.send(np.asarray(dl_samples)[0])
         ul = ul_rx.read(sf_len)[None, :]
-        # RA occasions: preambles ride the UL sample stream
+        # RA occasions: preambles ride the UL sample stream.  UEs stagger
+        # their occasions at (2*idx+2)%10 (nodes.py prach_due), so scan
+        # every configured occasion until all UEs have PUCCH resources —
+        # and still decode scheduled UL on a PRACH-detected TTI so other
+        # UEs' PUSCH/ACK due that subframe is not dropped.
+        ra_occasions = {(2 * i + 2) % 10 for i in range(args.ues)}
         got_prach = False
-        if tti % 10 == 2 and len(enb.pucch_res) < args.ues:
+        if tti % 10 in ra_occasions and len(enb.pucch_res) < args.ues:
             det = air.prach_rx(ul)
             if det is not None:
                 enb.rach_detected(tti, det)
                 got_prach = True
-        if enb.need_ul() and not got_prach:
-            enb.rx_ul(tti, jnp.asarray(ul))
+        if enb.need_ul():
+            # pucch_scan=False on the detection TTI: the preamble sits on
+            # the PUCCH PRBs and would read as a false SR, but scheduled
+            # PUSCH/ACK from already-attached UEs must still be decoded.
+            enb.rx_ul(tti, jnp.asarray(ul), pucch_scan=not got_prach)
 
     dl_tx.close()
     ul_rx.close()

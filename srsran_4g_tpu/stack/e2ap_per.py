@@ -545,7 +545,7 @@ def unpack_ran_functions_accepted(d: bytes) -> list[tuple[int, int]]:
         item = AperReader(r.get_open())
         item.get_bool()
         out.append((item.get_constrained(0, 4095),
-                    item.get_constrained(0, 255)))
+                    item.get_constrained(0, 4095)))
     return out
 
 

@@ -60,15 +60,21 @@ def main():
         w = K // WIN
         n = B * w
         # default matches the production default in ops/turbo.py
-        ver = os.environ.get("TURBO_KERNEL", "v7")
-        if ver == "v7":
-            from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas_v7
+        ver = os.environ.get("TURBO_KERNEL", "v9")
+        if ver in ("v7", "v8", "v9"):
+            from srsran_4g_tpu.ops.pallas import turbo_map as tmap
+            if ver == "v9":
+                fn = tmap.map_windowed_pallas_v9
+            else:  # v8 = v7 kernel with the radix-4 two-step ACS body
+                import functools
+                fn = functools.partial(tmap.map_windowed_pallas_v7,
+                                       radix4=(ver == "v8"))
             g = jnp.asarray(rng.normal(0, 4.0, (WIN + 2 * TRAIN, n))
                             .astype(np.float32))
             a0 = jnp.asarray(rng.normal(0, 1.0, (8, n)).astype(np.float32))
-            kern = jax.jit(lambda gg, aa: jnp.sum(map_windowed_pallas_v7(
+            kern = jax.jit(lambda gg, aa: jnp.sum(fn(
                 gg, gg, aa, aa, TRAIN, WIN, B, w)))
-            timeit("pallas kernel only (v7)", kern, g, a0)
+            timeit(f"pallas kernel only ({ver})", kern, g, a0)
         elif ver == "v4":
             from srsran_4g_tpu.ops.pallas.turbo_map import map_windowed_pallas_r4
             g = jnp.asarray(rng.normal(0, 4.0, (WIN + 2 * TRAIN, n))
