@@ -105,3 +105,40 @@ def rbg_size(n_rb: int) -> int:
     if n_rb <= 63:
         return 3
     return 4
+
+
+# -- distributed (type 2) VRB geometry, 36.211 §6.2.3.2 / 36.213 §7.1.6.3 --
+# (reference: lib/src/phy/phch/ra.c srsran_ra_type2_{ngap,n_rb_step,n_vrb_dl})
+
+def type2_ngap(n_rb: int, ngap_is_1: bool = True) -> int:
+    """N_gap, 36.211 Table 6.2.3.2-1."""
+    if n_rb <= 10:
+        return n_rb // 2
+    if n_rb == 11:
+        return 4
+    if n_rb <= 19:
+        return 8
+    if n_rb <= 26:
+        return 12
+    if n_rb <= 44:
+        return 18
+    if n_rb <= 49:
+        return 27
+    if n_rb <= 63:
+        return 27 if ngap_is_1 else 9
+    if n_rb <= 79:
+        return 32 if ngap_is_1 else 16
+    return 48 if ngap_is_1 else 16
+
+
+def type2_n_rb_step(n_rb: int) -> int:
+    """N_RB_step, 36.213 Table 7.1.6.3-1."""
+    return 2 if n_rb < 50 else 4
+
+
+def type2_n_vrb_dl(n_rb: int, ngap_is_1: bool = True) -> int:
+    """N_VRB_DL for distributed allocation, 36.211 §6.2.3.2."""
+    ngap = type2_ngap(n_rb, ngap_is_1)
+    if ngap_is_1:
+        return 2 * min(ngap, n_rb - ngap)
+    return (n_rb // ngap) * 2 * ngap
