@@ -69,6 +69,56 @@ def cdd_precode_2x2(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("ij,...js->...is", w, ux)
 
 
+def sfbc_encode_2(syms: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """SFBC (TM2) transmit mapping for 2 ports, TS 36.211 §6.3.4.3.
+
+    Over each RE pair (even k, k+1): port0 = [x0, x1],
+    port1 = [-x1*, x0*], each scaled 1/sqrt(2) — the TX counterpart of
+    `equalizer.alamouti_decode_2x1` (reference precoding.c
+    srsran_precoding_diversity).
+
+    Args:
+      syms: (..., N) with N even.
+
+    Returns (port0 (..., N), port1 (..., N)).
+    """
+    s = jnp.sqrt(2.0).astype(jnp.complex64)
+    x0 = syms[..., 0::2]
+    x1 = syms[..., 1::2]
+    shape = syms.shape
+    p0 = jnp.stack([x0, x1], axis=-1).reshape(shape) / s
+    p1 = jnp.stack([-jnp.conj(x1), jnp.conj(x0)], axis=-1).reshape(shape) / s
+    return p0, p1
+
+
+def scatter_ctrl_syms(grid_tx: jnp.ndarray, idx, syms: jnp.ndarray,
+                      add: bool = False) -> jnp.ndarray:
+    """Scatter control-channel symbols onto their flat RE indices.
+
+    On a single-port grid (..., nsymb, nre) the symbols go in as-is; on a
+    2-port grid (..., 2, nsymb, nre) they are SFBC-mapped first — the
+    reference transmits PBCH/PCFICH/PHICH/PDCCH with TX diversity whenever
+    nof_ports == 2 (enb_dl.c puts every control channel on all ports via
+    the precoding_diversity path)."""
+    g = jnp.asarray(grid_tx)
+    idx = jnp.asarray(idx)
+    two_port = g.ndim == syms.ndim + 2 and g.shape[-3] == 2
+    if not two_port:
+        flat = g.reshape(g.shape[:-2] + (-1,))
+        flat = (flat.at[..., idx].add(syms) if add
+                else flat.at[..., idx].set(syms))
+        return flat.reshape(g.shape)
+    p0, p1 = sfbc_encode_2(syms)
+    flat = g.reshape(g.shape[:-2] + (-1,))
+    if add:
+        flat = flat.at[..., 0, idx].add(p0)
+        flat = flat.at[..., 1, idx].add(p1)
+    else:
+        flat = flat.at[..., 0, idx].set(p0)
+        flat = flat.at[..., 1, idx].set(p1)
+    return flat.reshape(g.shape)
+
+
 def mmse_detect_2x2(
     y: jnp.ndarray, h: jnp.ndarray, noise_var
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -81,11 +81,13 @@ def encode(
 def put_into_grid(
     cell: G.CellConfig, grid_tx: jnp.ndarray, pbch_syms_frame: jnp.ndarray
 ) -> jnp.ndarray:
-    """Scatter one frame's 240 PBCH symbols into a subframe-0 grid."""
-    idx = jnp.asarray(pbch_re_indices(cell))
-    flat = jnp.asarray(grid_tx).reshape(grid_tx.shape[:-2] + (-1,))
-    flat = flat.at[..., idx].set(pbch_syms_frame)
-    return flat.reshape(grid_tx.shape)
+    """Scatter one frame's 240 PBCH symbols into a subframe-0 grid
+    (SFBC-mapped on a 2-port grid; remember to encode with n_ports=2 so
+    the CRC mask matches)."""
+    from srsran_4g_tpu.models import mimo
+
+    return mimo.scatter_ctrl_syms(grid_tx, pbch_re_indices(cell),
+                                  pbch_syms_frame)
 
 
 def decode(
@@ -95,9 +97,13 @@ def decode(
     noise_var,
     frame_idx: int = 0,
     llr_buffer: jnp.ndarray | None = None,
+    h1: jnp.ndarray | None = None,
 ) -> dict:
     """Decode the MIB from one subframe-0 grid (plus optional accumulated
     40 ms LLR buffer from earlier frames).
+
+    With ``h1`` (port-1 estimates) the PBCH REs are SFBC-combined (2-port
+    TX diversity; the CRC antenna mask confirms the hypothesis).
 
     Returns dict(mib (B,24), crc_ok (B,), n_ports (B,), llr_buffer).
     """
@@ -107,7 +113,11 @@ def decode(
     b = rx_grid.shape[0]
     y = rx_grid.reshape(b, -1)[:, idx]
     h_re = h.reshape(b, -1)[:, idx]
-    x, eff_nv = equalizer.equalize_single(y, h_re, noise_var)
+    if h1 is not None:
+        x, eff_nv = equalizer.alamouti_decode_2x1(
+            y, h_re, h1.reshape(b, -1)[:, idx], noise_var)
+    else:
+        x, eff_nv = equalizer.equalize_single(y, h_re, noise_var)
     llr = modem.demodulate_soft("qpsk", x, eff_nv)  # (B, 480)
 
     buf = jnp.zeros((b, E_NORM), jnp.float32) if llr_buffer is None else llr_buffer

@@ -63,10 +63,10 @@ def encode(cell: G.CellConfig, cfi: jnp.ndarray, subframe: int) -> jnp.ndarray:
 
 
 def put_into_grid(cell, grid_tx, pcfich_syms):
-    idx = jnp.asarray(pcfich_re_indices(cell))
-    flat = jnp.asarray(grid_tx).reshape(grid_tx.shape[:-2] + (-1,))
-    flat = flat.at[..., idx].set(pcfich_syms)
-    return flat.reshape(grid_tx.shape)
+    from srsran_4g_tpu.models import mimo
+
+    return mimo.scatter_ctrl_syms(grid_tx, pcfich_re_indices(cell),
+                                  pcfich_syms)
 
 
 def decode(

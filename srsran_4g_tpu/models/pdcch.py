@@ -118,9 +118,9 @@ def put_dci(
     scr = scrambling.scramble_bits(e, jnp.asarray(seq[bit0:bit0 + e.shape[-1]]))
     syms = modem.modulate("qpsk", scr)  # (B, 36·L)
     idx = cce_re_indices(cell, cfi, ng)[cce_start:cce_start + l_agg].reshape(-1)
-    flat = jnp.asarray(grid_tx).reshape(grid_tx.shape[:-2] + (-1,))
-    flat = flat.at[..., jnp.asarray(idx)].set(syms)
-    return flat.reshape(grid_tx.shape)
+    from srsran_4g_tpu.models import mimo
+
+    return mimo.scatter_ctrl_syms(grid_tx, idx, syms)
 
 
 def blind_decode(
@@ -128,8 +128,12 @@ def blind_decode(
     rx_grid: jnp.ndarray, h: jnp.ndarray, noise_var,
     rnti: int, dci_len: int, ng: float = 1.0,
     candidates: list[tuple[int, int]] | None = None,
+    h1: jnp.ndarray | None = None,
 ) -> dict:
     """Blind-search all candidates for a DCI of the given payload length.
+
+    With ``h1`` (port-1 estimates) each candidate's REs are SFBC-combined
+    (2-port TX diversity, pdcch.c via predecoding_diversity).
 
     Returns dict(found (B,), dci (B, A), candidate (B,) index, corr).
     All candidates are decoded as one Viterbi batch.
@@ -147,7 +151,11 @@ def blind_decode(
         idx = cce_re_indices(cell, cfi, ng)[cce_start:cce_start + l_agg].reshape(-1)
         y = rx_grid.reshape(b, -1)[:, jnp.asarray(idx)]
         h_re = h.reshape(b, -1)[:, jnp.asarray(idx)]
-        x, eff_nv = equalizer.equalize_single(y, h_re, noise_var)
+        if h1 is not None:
+            x, eff_nv = equalizer.alamouti_decode_2x1(
+                y, h_re, h1.reshape(b, -1)[:, jnp.asarray(idx)], noise_var)
+        else:
+            x, eff_nv = equalizer.equalize_single(y, h_re, noise_var)
         llr = modem.demodulate_soft("qpsk", x, eff_nv)
         bit0 = CCE_BITS * cce_start
         llr = scrambling.descramble_llrs(

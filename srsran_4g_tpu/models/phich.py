@@ -53,10 +53,10 @@ def encode(
 
 
 def put_into_grid(cell, grid_tx, phich_syms, group: int, ng: float = 1.0):
-    idx = jnp.asarray(regs.phich_reg_indices(cell, ng)[group].reshape(-1))
-    flat = jnp.asarray(grid_tx).reshape(grid_tx.shape[:-2] + (-1,))
-    flat = flat.at[..., idx].add(phich_syms)
-    return flat.reshape(grid_tx.shape)
+    from srsran_4g_tpu.models import mimo
+
+    idx = regs.phich_reg_indices(cell, ng)[group].reshape(-1)
+    return mimo.scatter_ctrl_syms(grid_tx, idx, phich_syms, add=True)
 
 
 def decode(
