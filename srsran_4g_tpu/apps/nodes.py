@@ -31,7 +31,8 @@ import numpy as np
 class UeNode:
     """One UE: MAC + RRC/NAS + RLC bearers + PUCCH resources."""
 
-    def __init__(self, idx: int, air, stats: dict, log) -> None:
+    def __init__(self, idx: int, air, stats: dict, log,
+                 tm: int = 1) -> None:
         from srsran_4g_tpu.stack.nas_ue import NasUe
         from srsran_4g_tpu.stack.rlc_am import RlcAm
         from srsran_4g_tpu.stack.rlc_um import RlcTm
@@ -68,6 +69,11 @@ class UeNode:
         self.scell_harq = DlHarqEntity()   # per-carrier DL HARQ entity
         self.prach_sent = False
         self.last_snr = 0.0
+        # 2x2 MIMO: configured TM + last CSI selection (RI/PMI) reported
+        # on the periodic PUCCH occasion (precoding.c pmi_select feedback)
+        self.tm = tm
+        self.last_ri = 1
+        self.last_pmi = 1
         self.cqi_sent: list[int] = []
         self.pending_ack: list[tuple[int, int, int]] = []   # (tti, n_pucch, bit)
         self.pending_pusch: list[tuple[int, object, bytes]] = []  # (tti, cfg, pdu)
@@ -191,6 +197,35 @@ class UeNode:
         self.pending_ack.append((tti + 4, n_pucch, 0 if ok else 1, cc,
                                  d.harq_pid))
 
+    def handle_dl_dci_dual(self, tti: int, d, cce_start: int,
+                           pdu: bytes | None, pdu2: bytes | None) -> None:
+        """Format 2/2A dual-codeword grant: codeword 0 drives the MAC HARQ
+        entity, codeword 1 feeds the same demux directly (36.321: one
+        HARQ process carries both TBs of a spatial-multiplex grant), and
+        both ACK bits ride consecutive PUCCH format-1 resources
+        (cce_start, cce_start+1 — the framework's rendering of 36.213
+        §10.1 channel selection)."""
+        from srsran_4g_tpu.stack.ue_mac import DlMacGrant
+
+        g = DlMacGrant(rnti=self.crnti, pid=d.harq_pid,
+                       tbs=len(pdu) if pdu else 0, ndi=bool(d.ndi0), tti=tti)
+        self.mac.new_grant_dl(g)
+        if pdu is not None:
+            self.mac.tb_decoded(g, pdu)
+        else:
+            self.stats["pdsch_ko"] += 1
+        if pdu2 is not None:
+            self.mac.demux.push_pdu(pdu2)
+            self.mac.metrics["dl_ok"] += 1
+        else:
+            self.stats["pdsch_ko"] += 1
+        self.stats["pdsch_rank2"] = self.stats.get("pdsch_rank2", 0) + 1
+        self.pending_ack.append((tti + 4, cce_start,
+                                 0 if pdu is not None else 1, 0, d.harq_pid))
+        self.pending_ack.append((tti + 4, cce_start + 1,
+                                 0 if pdu2 is not None else 1, 0,
+                                 d.harq_pid))
+
     def handle_ul_dci(self, tti: int, d) -> None:
         from srsran_4g_tpu.models import ra
 
@@ -225,16 +260,23 @@ class UeNode:
             sr = self.n_pucch_sr
             self.sr_count += 1
         cqi = None
+        csi = None
         if cqi_due and self.mac.ra.is_complete() and self.last_snr > 0:
             from srsran_4g_tpu.models.cqi import cqi_from_snr
 
             val = int(cqi_from_snr(self.last_snr))
             self.cqi_sent.append(val)
-            cqi = (self.n_pucch_2, self.crnti, val)
-        if pusch is None and ack is None and sr is None and cqi is None:
+            if getattr(self.air, "nof_rx", 1) == 2:
+                # 2x2 air: the periodic report carries CQI+RI+PMI
+                csi = (self.n_pucch_2, self.crnti, val,
+                       self.last_ri, self.last_pmi)
+            else:
+                cqi = (self.n_pucch_2, self.crnti, val)
+        if pusch is None and ack is None and sr is None and cqi is None \
+                and csi is None:
             return None
         sf = tti % 10
-        g = self.air.ue_ul_tx(pusch, ack=ack, sr=sr, cqi=cqi, sf=sf)
+        g = self.air.ue_ul_tx(pusch, ack=ack, sr=sr, cqi=cqi, csi=csi, sf=sf)
         if ack2 is not None:
             g2 = self.air.ue_ul_tx(None, ack=ack2, sf=sf)
             g = g2 if g is None else g + g2
@@ -296,11 +338,17 @@ class UePhy:
             watch.append(ue.crnti)
         if ue.mac.ra.state == ue.mac.ra.RAR_WAIT:
             watch.append(ue.ra_rnti)
+        # TM3/TM4 UEs also search the TM-specific format on the C-RNTI
+        # (ue_dl.c:543-548 searches 0/1A + the configured format)
+        fmt = {3: "2A", 4: "2"}.get(ue.tm)
         for rnti in [r for r in watch if r]:
             rx = air.ue_dl_rx_multi(
                 dl_samples, rnti, sf=ue_sf,
-                harq_bufs=(ue.dl_softbufs if rnti == ue.crnti else None))
+                harq_bufs=(ue.dl_softbufs if rnti == ue.crnti else None),
+                mimo_fmt=(fmt if rnti == ue.crnti else None))
             ue.last_snr = rx["snr_db"]
+            if "ri" in rx:
+                ue.last_ri, ue.last_pmi = rx["ri"], max(1, rx["pmi"])
             for hit in rx["hits"]:
                 if rnti == SI_RNTI and hit.get("pdu") is not None:
                     ue.rrc.rx_bcch(hit["pdu"], pci)
@@ -309,6 +357,10 @@ class UePhy:
                     ue.handle_rar(tti, hit["pdu"])
                 elif "ul_dci" in hit:
                     ue.handle_ul_dci(tti, hit["ul_dci"])
+                elif "dci2" in hit and rnti == ue.crnti:
+                    ue.handle_dl_dci_dual(tti, hit["dci2"],
+                                          hit["cce_start"],
+                                          hit.get("pdu"), hit.get("pdu2"))
                 elif rnti == ue.crnti:
                     ue.handle_dl_dci(tti, hit["dci"], hit["cce_start"],
                                      hit.get("pdu"))
@@ -355,7 +407,7 @@ class EnbNode:
     """
 
     def __init__(self, air, stats: dict, log, air_s=None,
-                 tx_s1ap=None, s1u_tx=None) -> None:
+                 tx_s1ap=None, s1u_tx=None, tm: int = 1) -> None:
         from srsran_4g_tpu.stack.enb_mac import EnbMac
         from srsran_4g_tpu.stack.rrc_enb import EnbCellConfig, RrcEnb
 
@@ -364,7 +416,8 @@ class EnbNode:
         self.air_s = air_s
         self.stats = stats
         self.log = log
-        self.mac = EnbMac(nof_prb=nof_prb)
+        self.tm = tm
+        self.mac = EnbMac(nof_prb=nof_prb, tm=tm)
         self.mac.ul_sched.edge_guard = 2  # PUCCH format-2 + format-1 regions
         if air_s is not None:
             self.mac.enable_scell(nof_prb)
@@ -444,6 +497,38 @@ class EnbNode:
         used_cces: set[int] = set()
         tx_list = []
         for it in dl_items:
+            if it.pdu2 is not None:
+                # dual-codeword TM3/TM4 grant: DCI format 2 (TM4) / 2A
+                # (TM3), both ACK bits watched on consecutive PUCCH
+                # format-1 resources (channel-selection rendering)
+                from srsran_4g_tpu.runtime.lte_air import \
+                    dci_to_pdsch_mimo_cfg
+
+                is_f2 = isinstance(it.dci, dci_mod.Dci2) and \
+                    not isinstance(it.dci, dci_mod.Dci2A)
+                bits = (dci_mod.pack_2(it.dci, nof_prb) if is_f2
+                        else dci_mod.pack_2a(it.dci, nof_prb))
+                alloc = air.cch.alloc(it.grant.rnti, used_cces, sf=sf)
+                if alloc is None:
+                    continue
+                l_agg, cce_start = alloc
+                if l_agg == 1:
+                    # reserve the neighbour CCE: its implicit PUCCH
+                    # resource carries this grant's second ACK bit
+                    used_cces.add(cce_start + 1)
+                cfg = dci_to_pdsch_mimo_cfg(air.cell, it.grant.rnti,
+                                            it.dci, sf, 4 if is_f2 else 3)
+                tx_list.append((cfg, (it.pdu, it.pdu2), bits,
+                                it.grant.rnti, l_agg, cce_start))
+                stats["pdsch_tx"] += 2
+                stats["dci_tx"] += 1
+                stats["pdsch_tx_rank2"] = stats.get("pdsch_tx_rank2", 0) + 1
+                self.ack_watch.append((tti + 4, it.grant.rnti,
+                                       it.grant.harq_pid, cce_start, 0, 0))
+                self.ack_watch.append((tti + 4, it.grant.rnti,
+                                       it.grant.harq_pid, cce_start + 1,
+                                       0, 1))
+                continue
             bits = dci_mod.pack_1a(it.dci, nof_prb)
             alloc = air.cch.alloc(it.grant.rnti, used_cces,
                                   min_l=4 if it.is_rar else 1, sf=sf)
@@ -457,7 +542,7 @@ class EnbNode:
             stats["dci_tx"] += 1
             if not it.is_rar:
                 self.ack_watch.append((tti + 4, it.grant.rnti,
-                                       it.grant.harq_pid, cce_start, 0))
+                                       it.grant.harq_pid, cce_start, 0, 0))
         for it in ul_items:
             g = it.grant
             cfg = _ul_cfg(air.cell, g.rnti, g.prb_start, g.prb_len, g.mcs,
@@ -509,7 +594,7 @@ class EnbNode:
                 stats["dci_tx"] += 1
                 self.ack_watch.append((tti + 4, it.grant.rnti,
                                        it.grant.harq_pid,
-                                       air.cch.n_cce + 4 + cce_start, 1))
+                                       air.cch.n_cce + 4 + cce_start, 1, 0))
             if s_tx:
                 scell_samples = self.air_s.enb_dl_tx(s_tx, sf=sf)
         return dl_samples, scell_samples
@@ -547,12 +632,17 @@ class EnbNode:
                 stats["pusch_ko"] += 1
             else:
                 self.mac.push_pdu(g.rnti, pdu)
-        # HARQ-ACK
+        # HARQ-ACK: dual-codeword grants watch two consecutive resources;
+        # their bits pair into ONE per-process feedback to the scheduler
         acks = [w for w in self.ack_watch if w[0] <= tti]
         self.ack_watch = [w for w in self.ack_watch if w[0] > tti]
-        for _, rnti, pid, n_pucch, cc in acks:
+        pair: dict[tuple, dict[int, bool]] = {}
+        for _, rnti, pid, n_pucch, cc, cw in acks:
             r = air.enb_pucch_ack_rx(ul_grid, n_pucch, sf=sf)
-            self.mac.dl_ack_info(rnti, pid, bool(r), cc=cc)
+            pair.setdefault((rnti, pid, cc), {})[cw] = bool(r)
+        for (rnti, pid, cc), bits in pair.items():
+            self.mac.dl_ack_info(rnti, pid, bits.get(0, False), cc=cc,
+                                 ack2=bits.get(1))
         # SR + CQI on the attached UEs' assigned PUCCH resources.  On a
         # PRACH-detected subframe the preamble occupies the PUCCH region
         # (a 6-PRB cell's preamble spans the whole band), so the caller
@@ -564,7 +654,15 @@ class EnbNode:
             if air.enb_sr_rx(ul_grid, n_sr, sf=sf):
                 self.mac.ul_bsr(rnti, 128)
             if cqi_due:
-                cqi = air.enb_cqi_rx(ul_grid, n_2, rnti, sf=sf)
+                if getattr(air, "nof_rx", 1) == 2:
+                    # 2x2 air: the periodic report carries CQI+RI+PMI —
+                    # RI drives rank adaptation, PMI the TM4 precoder
+                    cqi, ri, pmi = air.enb_csi_rx(ul_grid, n_2, rnti,
+                                                  sf=sf)
+                    self.mac.dl_ri_info(rnti, ri)
+                    self.mac.dl_pmi_info(rnti, max(1, pmi))
+                else:
+                    cqi = air.enb_cqi_rx(ul_grid, n_2, rnti, sf=sf)
                 self.mac.dl_cqi_info(rnti, cqi)
                 if self.air_s is not None and cqi >= 13:
                     # good-CQI trigger: activate the SCell (36.321 CE)

@@ -142,3 +142,18 @@ def type2_n_vrb_dl(n_rb: int, ngap_is_1: bool = True) -> int:
     if ngap_is_1:
         return 2 * min(ngap, n_rb - ngap)
     return (n_rb // ngap) * 2 * ngap
+
+
+def prbs_to_rbg_bitmap(prbs, n_rb: int) -> int:
+    """Inverse of type0_alloc_to_prbs: PRB set (whole RBGs) → RBG bitmap."""
+    p = rbg_size(n_rb)
+    n_rbg = -(-n_rb // p)
+    s = set(prbs)
+    bitmap = 0
+    for g in range(n_rbg):
+        blk = range(g * p, min((g + 1) * p, n_rb))
+        if all(q in s for q in blk):
+            bitmap |= 1 << (n_rbg - 1 - g)
+    assert set(type0_alloc_to_prbs(bitmap, n_rb)) == s, \
+        "PRB set is not RBG-aligned"
+    return bitmap

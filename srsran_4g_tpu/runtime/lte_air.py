@@ -81,6 +81,24 @@ def dci_to_pdsch_cfg(cell: G.CellConfig, rnti: int, d: dci_mod.Dci1A,
         prb_alloc=tuple(range(d.rb_start, d.rb_start + d.l_crbs)))
 
 
+def dci_to_pdsch_mimo_cfg(cell: G.CellConfig, rnti: int, d, sf: int,
+                          tm: int):
+    """Format 2/2A → dual-codeword PDSCH parameters (both sides derive
+    everything from the DCI: RBG bitmap → PRBs, per-codeword MCS → TBS;
+    TM4 pinfo 1..2 = rank-2 codebook index, ra_dl.c srsran_ra_dl_dci_to_grant
+    + precoding info table 36.212 5.3.3.1.5-4)."""
+    from srsran_4g_tpu.models import pdsch_mimo
+
+    prbs = ra.type0_alloc_to_prbs(d.rbg_bitmap, cell.nof_prb)
+    return pdsch_mimo.PdschMimoConfig(
+        cell=cell, rnti=rnti, subframe=sf,
+        mod0=ra.dl_mcs_to_mod(d.mcs0), tbs0=ra.dl_tbs(d.mcs0, len(prbs)),
+        mod1=ra.dl_mcs_to_mod(d.mcs1), tbs1=ra.dl_tbs(d.mcs1, len(prbs)),
+        tm="tm4" if tm == 4 else "tm3",
+        pmi=d.pinfo if tm == 4 else 0,
+        rv0=d.rv0, rv1=d.rv1, prb_alloc=prbs)
+
+
 def _ul_cfg(cell: G.CellConfig, rnti: int, prb_start: int, prb_len: int,
             mcs: int, rv: int = 0, sf: int = UL_SF) -> pusch_mod.PuschConfig:
     return pusch_mod.PuschConfig(
@@ -94,19 +112,36 @@ class LteAirPhy:
 
     def __init__(self, nof_prb: int, cell_id: int = 1, cfi: int | None = None,
                  snr_db: float = 20.0, seed: int = 7,
-                 fading=None) -> None:
+                 fading=None, nof_ports: int = 1, nof_rx: int = 1) -> None:
         """`fading`: optional channel.fading.FadingConfig — applied (with
         independent DL/UL realisations) between the nodes, as the
         reference's channel emulator hooks into its rx/tx paths
-        (srsue/src/phy/sync.cc:88-90)."""
+        (srsue/src/phy/sync.cc:88-90).
+
+        `nof_ports`/`nof_rx` = 2 selects the 2×2 MIMO air: the eNB
+        assembles 2-port grids (SFBC control + CRS per port, TM3/TM4
+        spatial-mux PDSCH), the DL channel is a fixed well-conditioned
+        2×2 mix + AWGN, and the UE receives 2 antenna streams
+        (enb.conf.example:17-31 `tm=3/4 nof_ports=2`)."""
         import jax
 
         self.jax = jax
         self.fading = fading
         self.seed = seed
+        self.nof_ports = nof_ports
+        self.nof_rx = nof_rx
+        assert (nof_ports, nof_rx) in ((1, 1), (2, 2))
+        assert fading is None or nof_ports == 1, \
+            "fading emulation is single-port only"
         if cfi is None:
             cfi = 3 if nof_prb <= 10 else 2
-        self.cell = G.CellConfig(nof_prb=nof_prb, cell_id=cell_id, cfi=cfi)
+        self.cell = G.CellConfig(nof_prb=nof_prb, cell_id=cell_id, cfi=cfi,
+                                 nof_ports=nof_ports)
+        # fixed 2x2 DL mix (flat in frequency, constant over the run):
+        # well-conditioned and with non-cancelling port sums so the
+        # all-ports PSS/SSS transmission stays detectable on either antenna
+        self.h_mix = np.array([[1.0 + 0.0j, 0.35 + 0.25j],
+                               [-0.30 + 0.20j, 0.95 + 0.1j]], np.complex64)
         self.ofdm = OfdmConfig(nof_prb=nof_prb)
         self.cch = CchAllocator(self.cell, cfi)
         self.dci_len = dci_mod.format1a_len(nof_prb)
@@ -150,16 +185,30 @@ class LteAirPhy:
         signals (PSS/SSS, and PBCH at sf 0) are added so a UE can
         acquire the cell over the air.  `phich`: (group, nseq, ack)
         UL-HARQ indications to carry (phich.c counterpart).
-        Returns noisy time-domain samples (1, sf_len).
+        Returns noisy time-domain samples (1, sf_len) — or
+        (1, nof_rx, sf_len) on the 2×2 MIMO air.
+
+        On a 2-port cell an item's cfg may be a `PdschMimoConfig` with
+        pdu = (pdu0, pdu1): the dual-codeword TM3/TM4 spatial multiplex
+        (srsenb cc_worker encode_pdsch at rank 2).
         """
+        from srsran_4g_tpu.models import pdsch_mimo
+
         jnp = self.jax.numpy
         grid = None
         for cfg, pdu, _, _, _, _ in items:
             if cfg is None:
                 continue
-            enc = self._fn(("pdsch_enc", cfg),
-                           lambda cfg=cfg: functools.partial(pdsch_mod.encode, cfg))
-            g = enc(jnp.asarray(self._bits(pdu, cfg.tbs)))
+            if isinstance(cfg, pdsch_mimo.PdschMimoConfig):
+                enc = self._fn(("pdsch_mimo_enc", cfg), lambda cfg=cfg:
+                               functools.partial(pdsch_mimo.encode, cfg))
+                g = enc(jnp.asarray(self._bits(pdu[0], cfg.tbs0)),
+                        jnp.asarray(self._bits(pdu[1], cfg.tbs1)))
+            else:
+                enc = self._fn(("pdsch_enc", cfg),
+                               lambda cfg=cfg: functools.partial(
+                                   pdsch_mod.encode, cfg))
+                g = enc(jnp.asarray(self._bits(pdu, cfg.tbs)))
             grid = g if grid is None else grid + g
 
         def build_overhead():
@@ -177,8 +226,10 @@ class LteAirPhy:
             return f
 
         if grid is None:
-            grid = jnp.zeros((1, self.cell.nsymb, self.cell.nre),
-                             jnp.complex64)
+            shape = ((1, self.cell.nsymb, self.cell.nre)
+                     if self.nof_ports == 1 else
+                     (1, self.nof_ports, self.cell.nsymb, self.cell.nre))
+            grid = jnp.zeros(shape, jnp.complex64)
         grid = self._fn(("overhead", sf), build_overhead)(grid)
         if sf in (0, 5):
             grid = self._fn(("sync", sf), self._build_sync(sf))(grid)
@@ -207,10 +258,21 @@ class LteAirPhy:
 
     def _build_channel(self, link: int):
         """grid → (fading) → OFDM → AWGN → samples; `link` decorrelates
-        the DL (0) and UL (1) fading realisations."""
+        the DL (0) and UL (1) fading realisations.  On the 2×2 MIMO DL
+        (link 0, nof_ports=2) the per-port sample streams pass through the
+        fixed `h_mix` before per-antenna AWGN."""
         from srsran_4g_tpu.channel.awgn import awgn
 
         nv, cfg, fcfg = self.nv, self.ofdm, self.fading
+        if link == 0 and self.nof_ports == 2:
+            jnp = self.jax.numpy
+            h = jnp.asarray(self.h_mix)
+
+            def f(grid, t0, key):
+                x = modulate(cfg, grid)            # (B, 2tx, sf_len)
+                y = jnp.einsum("rt,bts->brs", h, x)
+                return awgn(key, y, nv)
+            return f
         if fcfg is None:
             def f(grid, t0, key):
                 return awgn(key, modulate(cfg, grid), nv)
@@ -247,14 +309,16 @@ class LteAirPhy:
         return build
 
     def _build_pbch(self, block: int):
-        """PBCH segment `block` (sfn %% 4) into subframe 0 (pbch.c)."""
+        """PBCH segment `block` (sfn %% 4) into subframe 0 (pbch.c);
+        the CRC antenna mask follows the cell's port count."""
         from srsran_4g_tpu.models import pbch as pbch_mod
 
         cell = self.cell
 
         def build():
             def f(g, mib_bits):
-                syms = pbch_mod.encode(cell, mib_bits)
+                syms = pbch_mod.encode(cell, mib_bits,
+                                       n_ports=cell.nof_ports)
                 return pbch_mod.put_into_grid(cell, g, syms[:, block])
             return f
         return build
@@ -272,6 +336,8 @@ class LteAirPhy:
         Returns dict(found, cell_id, phase (0: sf 0, 1: sf 5), peak)."""
         from srsran_4g_tpu.models import ue_dl as ue_dl_mod
 
+        if self.nof_rx == 2:
+            samples = samples[:, 0]    # search on antenna 0 (sync.cc)
         search = self._fn(("cell_search",), lambda: functools.partial(
             ue_dl_mod.cell_search, nof_prb=self.cell.nof_prb))
         out = search(samples)
@@ -287,21 +353,31 @@ class LteAirPhy:
         dict(mib (24,), n_ports, block) or None."""
         demod = self._fn(("ofdm_demod",),
                          lambda: functools.partial(demodulate, self.ofdm))
+        if self.nof_rx == 2:
+            samples = samples[:, 0]    # MIB from antenna 0 (ue_mib.c)
         grid = demod(samples)
         mid = self.cell.nre // 2
         grid6 = grid[..., mid - 36:mid + 36]
-        cell6 = G.CellConfig(nof_prb=6, cell_id=cell_id, cfi=self.cell.cfi)
+        cell6 = G.CellConfig(nof_prb=6, cell_id=cell_id, cfi=self.cell.cfi,
+                             nof_ports=self.nof_ports)
+        two_port = self.nof_ports == 2
 
         def build():
             from srsran_4g_tpu.models import pbch as pbch_mod
 
             def f(g6):
                 est = chest_mod.estimate(
-                    chest_mod.ChestConfig(cell=cell6), g6, 0)
+                    chest_mod.ChestConfig(cell=cell6), g6, 0, port=0)
+                h1 = None
+                if two_port:
+                    h1 = chest_mod.estimate(
+                        chest_mod.ChestConfig(cell=cell6), g6, 0,
+                        port=1)["h"]
                 outs = []
                 for blk in range(4):
                     r = pbch_mod.decode(cell6, g6, est["h"],
-                                        est["noise_var"], frame_idx=blk)
+                                        est["noise_var"], frame_idx=blk,
+                                        h1=h1)
                     outs.append((r["crc_ok"], r["mib"], r["n_ports"]))
                 return outs
             return f
@@ -315,30 +391,66 @@ class LteAirPhy:
 
     # -- PHICH -----------------------------------------------------------------
 
+    def _ue_front(self, samples, sf: int):
+        """OFDM demod + CRS estimation front-end
+        (srsran_ue_dl_decode_fft_estimate, ue_dl.c:349).
+
+        SISO: returns (grid (B,S,K), h, None, h_full=None, nv, snr_db).
+        2×2:  returns (grids (B,2,S,K), h (rx0,port0), h1 (rx0,port1),
+        h_full (B,2rx,2tx,S,K), nv, snr_db)."""
+        demod = self._fn(("ofdm_demod",),
+                         lambda: functools.partial(demodulate, self.ofdm))
+        if self.nof_rx == 1:
+            grid = demod(samples)
+            est = self._fn(("chest", sf), lambda: functools.partial(
+                chest_mod.estimate, chest_mod.ChestConfig(cell=self.cell),
+                subframe=sf))(grid)
+            return grid, est["h"], None, None, est["noise_var"], est["snr_db"]
+
+        def build():
+            jnp = self.jax.numpy
+            ccfg = chest_mod.ChestConfig(cell=self.cell)
+
+            def f(grids):
+                ests = [[chest_mod.estimate(ccfg, grids[:, r], sf, port=p)
+                         for p in range(2)] for r in range(2)]
+                h_full = jnp.stack(
+                    [jnp.stack([ests[r][p]["h"] for p in range(2)], axis=1)
+                     for r in range(2)], axis=1)  # (B, rx, tx, S, K)
+                nv = sum(ests[r][p]["noise_var"] for r in range(2)
+                         for p in range(2)) / 4
+                return h_full, nv, ests[0][0]["snr_db"]
+            return f
+
+        grids = demod(samples)
+        h_full, nv, snr = self._fn(("chest2x2", sf), build)(grids)
+        return grids, h_full[:, 0, 0], h_full[:, 0, 1], h_full, nv, snr
+
     def ue_phich_rx(self, samples, group: int, nseq: int,
                     sf: int = DL_SF) -> bool:
         """Decode one PHICH: True = ACK, False = NACK
         (srsue cc_worker decode_phich)."""
-        demod = self._fn(("ofdm_demod",),
-                         lambda: functools.partial(demodulate, self.ofdm))
-        grid = demod(samples)
-        est = self._fn(("chest", sf), lambda: functools.partial(
-            chest_mod.estimate, chest_mod.ChestConfig(cell=self.cell),
-            subframe=sf))(grid)
+        grid, h, h1, _, nv, _ = self._ue_front(samples, sf)
+        if self.nof_rx == 2:
+            grid = grid[:, 0]
         dec = self._fn(("phich_dec", group, nseq, sf), lambda:
                        functools.partial(phich_mod.decode, self.cell,
                                          group=group, nseq=nseq,
                                          subframe=sf))
-        r = dec(grid, h=est["h"], noise_var=est["noise_var"])
+        r = (dec(grid, h=h, noise_var=nv) if h1 is None
+             else dec(grid, h=h, noise_var=nv, h1=h1))
         return bool(np.asarray(r["ack"])[0])
 
     # -- UE RX ----------------------------------------------------------------
 
     def ue_dl_rx_multi(self, samples, rnti: int, sf: int = DL_SF,
-                       harq_bufs: dict | None = None) -> dict:
+                       harq_bufs: dict | None = None,
+                       mimo_fmt: str | None = None) -> dict:
         """Blind-decode the UE's full search space for `rnti`.
 
-        Returns dict(snr_db, hits=[{dci|ul_dci, cce_start, pdu?}, ...]).
+        Returns dict(snr_db, hits=[{dci|ul_dci|dci2, cce_start, pdu?,
+        pdu2?}, ...]) plus (2×2 air) ri/pmi/cqi from the CRS channel
+        estimate (srsran_pmi_select feedback, precoding.c:307).
         Every CRC-passing candidate is taken, smallest aggregation level
         first, skipping candidates whose CCEs overlap an accepted one
         (overlapping "echo" detections of the same DCI at a larger L).
@@ -348,36 +460,62 @@ class LteAirPhy:
         ({pid: {"ndi", "tbs", "bufs"}}): retransmissions of the same
         process (same NDI/TBS) chase-combine their LLRs before turbo
         decoding, as the reference's srsran_softbuffer_rx
-        (ue_dl.c decode_tb softbuffer path).
-        """
-        demod = self._fn(("ofdm_demod",),
-                         lambda: functools.partial(demodulate, self.ofdm))
-        grid = demod(samples)
-        est = self._fn(("chest", sf), lambda: functools.partial(
-            chest_mod.estimate, chest_mod.ChestConfig(cell=self.cell),
-            subframe=sf))(grid)
-        h, nv, snr_db = est["h"], est["noise_var"], est["snr_db"]
+        (ue_dl.c decode_tb softbuffer path).  Dual-codeword (format
+        2/2A) transmissions re-decode each retransmission standalone.
 
-        blind = self._fn(("blind", rnti, sf), lambda: functools.partial(
-            pdcch_mod.blind_decode, self.cell, self.cell.cfi, sf,
-            rnti=rnti, dci_len=self.dci_len))
-        out = blind(grid, h=h, noise_var=nv)
+        `mimo_fmt`: "2" (TM4) or "2A" (TM3) adds a second blind search
+        at that format's payload length (ue_dl.c:543-548 searches the
+        TM-specific format alongside 0/1A).
+        """
+        grids, h, h1, h_full, nv, snr_db = self._ue_front(samples, sf)
+        grid0 = grids[:, 0] if self.nof_rx == 2 else grids
+
+        def run_blind(dci_len):
+            blind = self._fn(("blind", rnti, sf, dci_len, h1 is not None),
+                             lambda: functools.partial(
+                pdcch_mod.blind_decode, self.cell, self.cell.cfi, sf,
+                rnti=rnti, dci_len=dci_len))
+            return (blind(grid0, h=h, noise_var=nv) if h1 is None
+                    else blind(grid0, h=h, noise_var=nv, h1=h1))
+
         res = dict(snr_db=float(snr_db[0]), hits=[])
-        ok = np.asarray(out["ok_per_candidate"][0])
-        if not ok.any():
-            return res
+        if self.nof_rx == 2:
+            res.update(self._csi_report(h_full, nv))
+        out = run_blind(self.dci_len)
+        out2 = None
+        if mimo_fmt is not None:
+            len2 = (dci_mod.format2_len(self.cell.nof_prb, 2)
+                    if mimo_fmt == "2"
+                    else dci_mod.format2a_len(self.cell.nof_prb, 2))
+            out2 = run_blind(len2)
         cands = pdcch_mod.search_space_candidates(
             self.cell, self.cell.cfi, rnti, sf)
+        ok = np.asarray(out["ok_per_candidate"][0])
         payloads = np.asarray(out["payload_per_candidate"][0])
+        ok2 = (np.asarray(out2["ok_per_candidate"][0])
+               if out2 is not None else np.zeros_like(ok))
+        payloads2 = (np.asarray(out2["payload_per_candidate"][0])
+                     if out2 is not None else None)
+        if not ok.any() and not ok2.any():
+            return res
         used: set[int] = set()
         for i in sorted(range(len(cands)), key=lambda i: cands[i][0]):
-            if not ok[i]:
+            if not (ok[i] or ok2[i]):
                 continue
             l_agg, start = cands[i]
             cces = set(range(start, start + l_agg))
             if cces & used:
                 continue
             used |= cces
+            if ok2[i] and not ok[i]:
+                d2 = (dci_mod.unpack_2(payloads2[i], self.cell.nof_prb)
+                      if mimo_fmt == "2"
+                      else dci_mod.unpack_2a(payloads2[i],
+                                             self.cell.nof_prb))
+                res["hits"].append(self._rx_dual_cw(
+                    grids, h_full, nv, rnti, sf, d2, start,
+                    4 if mimo_fmt == "2" else 3))
+                continue
             bits = payloads[i]
             if bits[0] == 0:       # format 0/1A flag: UL grant
                 res["hits"].append(dict(
@@ -392,11 +530,13 @@ class LteAirPhy:
                 if (ent is not None and ent["ndi"] == d.ndi
                         and ent["tbs"] == cfg.tbs):
                     sb = ent["bufs"]
+            h_sfbc = h if h1 is None else self.jax.numpy.stack(
+                [h, h1], axis=1)
             dec = self._fn(("pdsch_dec", cfg, sb is not None),
                            lambda cfg=cfg:
                            functools.partial(pdsch_mod.decode, cfg, n_iter=6))
-            r = (dec(grid, h=h, noise_var=nv) if sb is None
-                 else dec(grid, h=h, noise_var=nv, softbuffers=sb))
+            r = (dec(grid0, h=h_sfbc, noise_var=nv) if sb is None
+                 else dec(grid0, h=h_sfbc, noise_var=nv, softbuffers=sb))
             crc_ok = bool(r["crc_ok"][0])
             if harq_bufs is not None:
                 harq_bufs[d.harq_pid] = dict(
@@ -406,6 +546,47 @@ class LteAirPhy:
                    if crc_ok else None)
             res["hits"].append(dict(dci=d, cce_start=start, pdu=pdu))
         return res
+
+    def _rx_dual_cw(self, grids, h_full, nv, rnti: int, sf: int, d,
+                    start: int, tm: int) -> dict:
+        """Decode a format 2/2A dual-codeword PDSCH from both RX antennas
+        (pdsch_mimo.decode: effective channel H·W → batched 2×2 MMSE →
+        per-codeword DL-SCH)."""
+        from srsran_4g_tpu.models import pdsch_mimo
+
+        cfg = dci_to_pdsch_mimo_cfg(self.cell, rnti, d, sf, tm)
+        dec = self._fn(("pdsch_mimo_dec", cfg), lambda cfg=cfg:
+                       functools.partial(pdsch_mimo.decode, cfg, n_iter=6))
+        r = dec(grids, h=h_full, noise_var=nv)
+        ok0 = bool(np.asarray(r["crc_ok0"])[0])
+        ok1 = bool(np.asarray(r["crc_ok1"])[0])
+        pdu = (np.packbits(np.asarray(r["bits0"][0], np.uint8)).tobytes()
+               if ok0 else None)
+        pdu2 = (np.packbits(np.asarray(r["bits1"][0], np.uint8)).tobytes()
+                if ok1 else None)
+        return dict(dci2=d, cce_start=start, pdu=pdu, pdu2=pdu2)
+
+    def _csi_report(self, h_full, nv) -> dict:
+        """RI/PMI selection from the full 2×2 CRS estimate: capacity
+        argmax over the rank-1/rank-2 codebooks (mimo.pmi_select_2tx,
+        reference srsran_pmi_select precoding.c:307)."""
+        from srsran_4g_tpu.models import mimo
+
+        def build():
+            jnp = self.jax.numpy
+
+            def f(hf, nvv):
+                h = hf.reshape(hf.shape[:3] + (-1,))  # (B, rx, tx, S*K)
+                _, m1 = mimo.pmi_select_2tx(h, nvv, rank=1)
+                pmi2, m2 = mimo.pmi_select_2tx(h, nvv, rank=2)
+                best1 = jnp.max(m1, axis=-1)
+                best2 = jnp.max(m2, axis=-1)
+                return best1, best2, pmi2
+            return f
+
+        b1, b2, pmi2 = self._fn(("csi",), build)(h_full, nv)
+        ri = 2 if float(b2[0]) > float(b1[0]) else 1
+        return dict(ri=ri, pmi=int(np.asarray(pmi2)[0]))
 
     # -- UE UL TX --------------------------------------------------------------
 
@@ -419,10 +600,14 @@ class LteAirPhy:
                  ack: tuple[int, int] | None = None,
                  sr: int | None = None,
                  cqi: tuple[int, int, int] | None = None,
+                 csi: tuple[int, int, int, int, int] | None = None,
                  sf: int = UL_SF):
         """One UE's UL grid: PUSCH + PUCCH contributions (or None).
 
-        ack: (n_pucch, ack_bit); sr: n_pucch_sr; cqi: (n_pucch_2, rnti, cqi).
+        ack: (n_pucch, ack_bit); sr: n_pucch_sr; cqi: (n_pucch_2, rnti, cqi);
+        csi: (n_pucch_2, rnti, cqi, ri, pmi) — the 7-bit CQI(4)+RI(1)+PMI(2)
+        periodic report of the 2×2 air (36.213 §7.2.2 mode 1-1 condensed
+        onto one format-2 occasion; format 2 carries up to 13 bits).
         """
         jnp = self.jax.numpy
         grid = None
@@ -448,6 +633,15 @@ class LteAirPhy:
             enc = self._fn(("pucch2_enc", n2, rnti, sf), lambda pcfg=pcfg:
                            lambda bits: pucch_mod.encode_format2(pcfg, bits))
             bits = ((val >> np.arange(3, -1, -1)) & 1).astype(np.int8)
+            g = enc(jnp.asarray(bits[None]))
+            grid = g if grid is None else grid + g
+        if csi is not None:
+            n2, rnti, val, ri, pmi = csi
+            pcfg = self.pucch_cfg(n2, rnti=rnti, sf=sf)
+            enc = self._fn(("pucch2_csi_enc", n2, rnti, sf), lambda pcfg=pcfg:
+                           lambda bits: pucch_mod.encode_format2(pcfg, bits))
+            word = (val << 3) | ((ri - 1) << 2) | (pmi & 3)
+            bits = ((word >> np.arange(6, -1, -1)) & 1).astype(np.int8)
             g = enc(jnp.asarray(bits[None]))
             grid = g if grid is None else grid + g
         return grid
@@ -506,6 +700,18 @@ class LteAirPhy:
                        lambda g: pucch_mod.decode_format2(pcfg, g, 4))
         bits = np.asarray(dec(ul_grid)["bits"])[0]
         return int(bits.dot(1 << np.arange(3, -1, -1)))
+
+    def enb_csi_rx(self, ul_grid, n_pucch_2: int, rnti: int,
+                   sf: int = UL_SF) -> tuple[int, int, int]:
+        """→ (cqi, ri, pmi): the 7-bit CQI+RI+PMI periodic report of the
+        2×2 air (counterpart of ue_ul_tx csi=...)."""
+        pcfg = self.pucch_cfg(n_pucch_2, rnti=rnti, sf=sf)
+        dec = self._fn(("pucch2_csi_dec", n_pucch_2, rnti, sf),
+                       lambda pcfg=pcfg:
+                       lambda g: pucch_mod.decode_format2(pcfg, g, 7))
+        bits = np.asarray(dec(ul_grid)["bits"])[0]
+        word = int(bits.dot(1 << np.arange(6, -1, -1)))
+        return word >> 3, ((word >> 2) & 1) + 1, word & 3
 
     # -- PRACH ---------------------------------------------------------------------
 

@@ -70,8 +70,9 @@ class DlSchedItem:
 
     grant: sched.DlGrant
     pdu: bytes                    # MAC PDU (grant.tbs // 8 bytes)
-    dci: dci_mod.Dci1A
+    dci: object                   # Dci1A, or Dci2/Dci2A for dual-codeword
     is_rar: bool = False          # rnti field is the RA-RNTI
+    pdu2: Optional[bytes] = None  # second codeword (TM3/TM4 rank 2)
 
 
 @dataclass
@@ -105,8 +106,10 @@ class EnbMac:
     """The eNB MAC entity (mac.cc + per-UE RLC adapters)."""
 
     def __init__(self, nof_prb: int, dl_policy: str = "pf",
-                 prb_quant: bool = False, first_rnti: int = 0x46) -> None:
+                 prb_quant: bool = False, first_rnti: int = 0x46,
+                 tm: int = 1) -> None:
         self.nof_prb = nof_prb
+        self.tm = tm  # cell transmission mode (enb.conf.example:17-31 tm=N)
         self.dl_sched = sched.DlScheduler(nof_prb, policy=dl_policy)
         self.ul_sched = sched.UlScheduler(nof_prb)
         self.prb_quant = prb_quant
@@ -183,6 +186,8 @@ class EnbMac:
         ue.rlc[0] = RlcTm()
         self.ues[rnti] = ue
         self.dl_sched.ue_cfg(rnti)
+        if self.tm != 1:
+            self.dl_sched.set_tm(rnti, self.tm)
         self.ul_sched.ue_cfg(rnti)
         # RA-RNTI = 1 + t_id of the PRACH subframe (36.321 §5.1.4)
         self._pending_rar.append((preamble, rnti, 1 + tti % 10))
@@ -228,12 +233,31 @@ class EnbMac:
         for g in self.dl_sched.get_dl_sched(tti):
             ue = self.ues[g.rnti]
             if g.is_retx:
-                pdu = ue.dl_pdu_buf.get((0, g.harq_pid), bytes(g.tbs // 8))
+                pdu = ue.dl_pdu_buf.get((0, g.harq_pid, 0), bytes(g.tbs // 8))
                 self.metrics["dl_retx"] += 1
             else:
                 pdu = self._generate_pdu(ue, g.tbs // 8)
-                ue.dl_pdu_buf[(0, g.harq_pid)] = pdu
+                ue.dl_pdu_buf[(0, g.harq_pid, 0)] = pdu
                 self.metrics["dl_tx"] += 1
+            if g.tbs2 is not None:
+                # dual-codeword spatial multiplex: second MAC PDU + DCI
+                # format 2 (TM4, pinfo = reported PMI) or 2A (TM3) —
+                # sched_ue.cc:1015-1031 format-by-TM selection
+                if g.is_retx:
+                    pdu2 = ue.dl_pdu_buf.get((0, g.harq_pid, 1),
+                                             bytes(g.tbs2 // 8))
+                else:
+                    pdu2 = self._generate_pdu(ue, g.tbs2 // 8)
+                    ue.dl_pdu_buf[(0, g.harq_pid, 1)] = pdu2
+                    self.metrics["dl_tx"] += 1
+                bitmap = ra.prbs_to_rbg_bitmap(g.prb_mask, self.nof_prb)
+                cls = dci_mod.Dci2 if g.tm == 4 else dci_mod.Dci2A
+                d = cls(rbg_bitmap=bitmap, harq_pid=g.harq_pid,
+                        mcs0=g.mcs, ndi0=g.ndi, rv0=g.rv,
+                        mcs1=g.mcs2, ndi1=g.ndi, rv1=g.rv2,
+                        pinfo=g.pmi if g.tm == 4 else 0)
+                items.append(DlSchedItem(grant=g, pdu=pdu, dci=d, pdu2=pdu2))
+                continue
             rb_start = min(g.prb_mask)
             d = dci_mod.Dci1A(rb_start=rb_start, l_crbs=len(g.prb_mask),
                               mcs=g.mcs, harq_pid=g.harq_pid, ndi=g.ndi,
@@ -320,13 +344,20 @@ class EnbMac:
     # -- feedback ------------------------------------------------------------
 
     def dl_ack_info(self, rnti: int, pid: int, ack: bool,
-                    cc: int = 0) -> None:
+                    cc: int = 0, ack2: bool | None = None) -> None:
         s = self.dl_sched if cc == 0 else self.scell_sched
         if s is None or rnti not in s.ues:
             return
-        s.dl_ack_info(rnti, pid, ack)
-        if ack:
-            self.ues[rnti].dl_pdu_buf.pop((cc, pid), None)
+        s.dl_ack_info(rnti, pid, ack, ack2=ack2)
+        if ack and (ack2 is None or ack2):
+            self.ues[rnti].dl_pdu_buf.pop((cc, pid, 0), None)
+            self.ues[rnti].dl_pdu_buf.pop((cc, pid, 1), None)
+
+    def dl_ri_info(self, rnti: int, ri: int) -> None:
+        self.dl_sched.dl_ri_info(rnti, ri)
+
+    def dl_pmi_info(self, rnti: int, pmi: int) -> None:
+        self.dl_sched.dl_pmi_info(rnti, pmi)
 
     # -- carrier aggregation (CaScheduler semantics over the air) -----------
 
@@ -358,11 +389,11 @@ class EnbMac:
         for g in self.scell_sched.get_dl_sched(tti):
             ue = self.ues[g.rnti]
             if g.is_retx:
-                pdu = ue.dl_pdu_buf.get((1, g.harq_pid), bytes(g.tbs // 8))
+                pdu = ue.dl_pdu_buf.get((1, g.harq_pid, 0), bytes(g.tbs // 8))
                 self.metrics["dl_retx"] += 1
             else:
                 pdu = self._generate_pdu(ue, g.tbs // 8)
-                ue.dl_pdu_buf[(1, g.harq_pid)] = pdu
+                ue.dl_pdu_buf[(1, g.harq_pid, 0)] = pdu
                 self.metrics["scell_tx"] += 1
             d = dci_mod.Dci1A(rb_start=min(g.prb_mask),
                               l_crbs=len(g.prb_mask), mcs=g.mcs,

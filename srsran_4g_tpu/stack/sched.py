@@ -36,6 +36,9 @@ class HarqProc:
     prb_mask: tuple[int, ...] = ()
     n_retx: int = 0
     ndi: int = 0
+    # second codeword (TM3/TM4 rank-2 dual-codeword transmissions)
+    tbs2: int = 0
+    mcs2: int = 0
 
 
 @dataclass
@@ -47,6 +50,12 @@ class UeCtx:
     # PF bookkeeping
     avg_rate: float = 1.0
     pending_retx: list[int] = field(default_factory=list)
+    # transmission mode + UE-reported rank/precoder (sched_ue.cc:1015-1031
+    # selects the DCI format from the configured TM; RI/PMI arrive on the
+    # UE's periodic CSI report, reference srsran_pmi_select feedback)
+    tm: int = 1
+    ri: int = 1
+    pmi: int = 1   # rank-2 codebook index (1..2, mimo._CODEBOOK_2TX_R2)
 
     def free_harq(self) -> int | None:
         for i, h in enumerate(self.harq):
@@ -65,6 +74,13 @@ class DlGrant:
     rv: int
     ndi: int
     is_retx: bool
+    # dual-codeword fields (set when the grant is a TM3/TM4 rank-2 spatial
+    # multiplex; tbs2 None = single codeword)
+    tbs2: int | None = None
+    mcs2: int = 0
+    rv2: int = 0
+    tm: int = 1
+    pmi: int = 1
 
 
 @dataclass
@@ -173,6 +189,7 @@ class DlScheduler:
         self.nof_prb = nof_prb
         self.policy = policy
         self.pf_fairness = pf_fairness
+        self.nof_ports = 1   # 2 when any TM>1 UE is configured (CRS cost)
         self.ues: dict[int, UeCtx] = {}
 
     # --- FAPI-like upper interface (mac.cc:639 etc.) ------------------------
@@ -189,11 +206,35 @@ class DlScheduler:
     def dl_cqi_info(self, rnti: int, cqi: int) -> None:
         self.ues[rnti].cqi = max(1, min(15, cqi))
 
-    def dl_ack_info(self, rnti: int, harq_pid: int, ack: bool) -> None:
+    def set_tm(self, rnti: int, tm: int) -> None:
+        """Configure the UE's transmission mode (enb.conf [enb] tm=N;
+        sched_ue.cc set_cfg → DCI format selection)."""
+        assert tm in (1, 2, 3, 4)
+        self.ues[rnti].tm = tm
+        if tm > 1:
+            self.nof_ports = 2
+
+    def dl_ri_info(self, rnti: int, ri: int) -> None:
+        """UE-reported rank indicator (1 or 2)."""
+        if rnti in self.ues:
+            self.ues[rnti].ri = max(1, min(2, ri))
+
+    def dl_pmi_info(self, rnti: int, pmi: int) -> None:
+        """UE-reported rank-2 codebook index (1..2)."""
+        if rnti in self.ues:
+            self.ues[rnti].pmi = max(1, min(2, pmi))
+
+    def dl_ack_info(self, rnti: int, harq_pid: int, ack: bool,
+                    ack2: bool | None = None) -> None:
+        """Per-process HARQ feedback; for a dual-codeword process the pair
+        is retransmitted together when either codeword failed (the
+        framework's unit-HARQ simplification of the reference's per-TB
+        tracking — both rv fields advance in the retransmission DCI)."""
         h = self.ues[rnti].harq[harq_pid]
         if not h.active:
             return
-        if ack or h.n_retx + 1 >= MAX_RETX:
+        ok = ack and (ack2 is None or ack2)
+        if ok or h.n_retx + 1 >= MAX_RETX:
             h.active = False
         else:
             h.n_retx += 1
@@ -215,7 +256,8 @@ class DlScheduler:
 
         cell = G.CellConfig(
             nof_prb=self.nof_prb, cell_id=1,
-            cfi=3 if self.nof_prb <= 10 else 2)
+            cfi=3 if self.nof_prb <= 10 else 2,
+            nof_ports=self.nof_ports)
         qm = {"qpsk": 2, "16qam": 4, "64qam": 6}[ra.dl_mcs_to_mod(mcs)]
         return len(G.pdsch_re_indices(cell, sf, prbs)) * qm
 
@@ -230,6 +272,23 @@ class DlScheduler:
                 return mcs, tbs
             mcs -= 1
         return 0, ra.dl_tbs(0, len(prbs))
+
+    def _alloc_rbgs(self, free_prbs: list[int], mcs: int,
+                    want_bits: int) -> tuple[int, ...]:
+        """Take the smallest run of fully-free RBGs whose dual-codeword
+        capacity (2 layers × per-layer TBS) meets the buffer."""
+        p = ra.rbg_size(self.nof_prb)
+        n_rbg = -(-self.nof_prb // p)
+        free = set(free_prbs)
+        rbgs = [g for g in range(n_rbg)
+                if all(q in free for q in
+                       range(g * p, min((g + 1) * p, self.nof_prb)))]
+        taken: list[int] = []
+        for g in rbgs:
+            taken.extend(range(g * p, min((g + 1) * p, self.nof_prb)))
+            if 2 * ra.dl_tbs(mcs, len(taken)) >= want_bits:
+                break
+        return tuple(taken)
 
     def get_dl_sched(self, tti: int) -> list[DlGrant]:
         grants: list[DlGrant] = []
@@ -251,12 +310,32 @@ class DlScheduler:
                         sf, tuple(free_prbs[:need]), h.mcs):
                     ue.pending_retx.insert(0, pid)
                     break
-                prbs = tuple(free_prbs[:need])
-                free_prbs = free_prbs[need:]
+                if h.tbs2:
+                    # dual-codeword retx rides a type-0 bitmap: whole RBGs
+                    p = ra.rbg_size(self.nof_prb)
+                    free = set(free_prbs)
+                    prbs = []
+                    for g0 in range(-(-self.nof_prb // p)):
+                        blk = list(range(g0 * p,
+                                         min((g0 + 1) * p, self.nof_prb)))
+                        if all(q in free for q in blk):
+                            prbs.extend(blk)
+                        if len(prbs) >= need:
+                            break
+                    if len(prbs) != need:  # TBS is fixed by the PRB count
+                        ue.pending_retx.insert(0, pid)
+                        break
+                    prbs = tuple(prbs)
+                    free_prbs = [q for q in free_prbs if q not in set(prbs)]
+                else:
+                    prbs = tuple(free_prbs[:need])
+                    free_prbs = free_prbs[need:]
                 grants.append(DlGrant(
                     rnti=ue.rnti, harq_pid=pid, mcs=h.mcs, tbs=h.tbs,
                     prb_mask=prbs, rv=_RV_SEQ[h.n_retx % 4], ndi=h.ndi,
-                    is_retx=True))
+                    is_retx=True,
+                    tbs2=h.tbs2 or None, mcs2=h.mcs2,
+                    rv2=_RV_SEQ[h.n_retx % 4], tm=ue.tm, pmi=ue.pmi))
                 h.prb_mask = prbs
 
         # 2) new transmissions by policy metric
@@ -269,29 +348,46 @@ class DlScheduler:
         for ue in cand:
             if not free_prbs:
                 break
+            # TM3/TM4 with a rank-2 report: dual-codeword spatial multiplex
+            # (sched_ue.cc:1015-1031 — TM3 → format 2A, TM4 → format 2);
+            # each codeword maps to one layer, so per-codeword TBS is the
+            # standard single-layer table (36.213 §7.1.7.2.1)
+            dual = ue.tm in (3, 4) and ue.ri >= 2
             mcs = _CQI_TO_MCS[ue.cqi]
             want_bits = ue.buffer_bytes * 8 + 32
-            n_prb = len(free_prbs)
-            # smallest PRB count meeting the buffer, capped at what's free
-            for n in range(1, len(free_prbs) + 1):
-                if ra.dl_tbs(mcs, n) >= want_bits:
-                    n_prb = n
-                    break
-            prbs = tuple(free_prbs[:n_prb])
-            free_prbs = free_prbs[n_prb:]
+            if dual:
+                # formats 2/2A carry a type-0 RBG bitmap, so dual-codeword
+                # allocations take whole free RBGs (sched_grid.cc rbgmask)
+                prbs = self._alloc_rbgs(free_prbs, mcs, want_bits)
+                if not prbs:
+                    continue
+                free_prbs = [p for p in free_prbs if p not in set(prbs)]
+            else:
+                n_prb = len(free_prbs)
+                # smallest PRB count meeting the buffer, capped at free
+                for n in range(1, len(free_prbs) + 1):
+                    if ra.dl_tbs(mcs, n) >= want_bits:
+                        n_prb = n
+                        break
+                prbs = tuple(free_prbs[:n_prb])
+                free_prbs = free_prbs[n_prb:]
             mcs, tbs = self._fit_mcs(sf, prbs, mcs)
             pid = ue.free_harq()
             h = ue.harq[pid]
             h.active, h.tbs, h.mcs, h.prb_mask = True, tbs, mcs, prbs
             h.n_retx, h.ndi = 0, h.ndi ^ 1
+            h.tbs2, h.mcs2 = (tbs, mcs) if dual else (0, 0)
             grants.append(DlGrant(
                 rnti=ue.rnti, harq_pid=pid, mcs=mcs, tbs=tbs, prb_mask=prbs,
-                rv=0, ndi=h.ndi, is_retx=False))
-            ue.buffer_bytes = max(0, ue.buffer_bytes - tbs // 8)
+                rv=0, ndi=h.ndi, is_retx=False,
+                tbs2=tbs if dual else None, mcs2=mcs if dual else 0,
+                rv2=0, tm=ue.tm, pmi=ue.pmi))
+            served = tbs * (2 if dual else 1)
+            ue.buffer_bytes = max(0, ue.buffer_bytes - served // 8)
 
         # PF average-rate update (scheduled or not)
         for ue in self.ues.values():
-            served = sum(g.tbs for g in grants
+            served = sum(g.tbs + (g.tbs2 or 0) for g in grants
                          if g.rnti == ue.rnti and not g.is_retx)
             ue.avg_rate = (1 - self.pf_fairness) * ue.avg_rate + \
                 self.pf_fairness * served

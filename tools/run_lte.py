@@ -37,7 +37,7 @@ from srsran_4g_tpu.apps.nodes import EnbNode, UeNode, UePhy  # noqa: E402
 def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
         n_ues: int = 1, n_cc: int = 1, burst_bytes: int = 0,
         fading_profile: str | None = None, doppler_hz: float = 5.0,
-        verbose: bool = False):
+        tm: int = 1, verbose: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -58,7 +58,12 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
 
         fading = FadingConfig(fading_profile, doppler_hz,
                               C.symbol_sz(nof_prb) * 15e3)
-    air = LteAirPhy(nof_prb=nof_prb, snr_db=snr_db, fading=fading)
+    # tm=3/4 selects the 2x2 MIMO air (enb.conf.example:17-31
+    # `tm=4 nof_ports=2`): 2-port SFBC control + CRS, dual-codeword
+    # spatial-mux PDSCH once the UE reports rank 2
+    nof_ports = 2 if tm in (3, 4) else 1
+    air = LteAirPhy(nof_prb=nof_prb, snr_db=snr_db, fading=fading,
+                    nof_ports=nof_ports, nof_rx=nof_ports)
     # carrier aggregation: a second carrier with its own cell id/PHY
     air_s = (LteAirPhy(nof_prb=nof_prb, cell_id=2, snr_db=snr_db, seed=11)
              if n_cc == 2 else None)
@@ -68,13 +73,13 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
     mme = Mme(hss=hss)
 
     # ----- UEs
-    ues = [UeNode(i, air, stats, log) for i in range(n_ues)]
+    ues = [UeNode(i, air, stats, log, tm=tm) for i in range(n_ues)]
     ue_phys = [UePhy(ue, air, air_s) for ue in ues]
     for ue in ues:
         hss.add_subscriber(ue.ucfg.imsi, ue.ucfg.k, ue.ucfg.opc)
 
     # ----- eNB node, S1 wired straight into the in-process MME
-    enb = EnbNode(air, stats, log, air_s=air_s)
+    enb = EnbNode(air, stats, log, air_s=air_s, tm=tm)
     enb.rrc.tx_s1ap = lambda pdu: [enb.rrc.rx_s1ap(r)
                                    for r in mme.rx_s1ap(pdu)]
     enb.s1u_tx = mme.spgw.rx_s1u
@@ -141,6 +146,12 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
                 pings_sent[ue.idx] += 1
 
     stats["scell_tx"] = enb.mac.metrics["scell_tx"]
+    if tm in (3, 4):
+        # the flagship-mode criterion: spatial multiplexing actually ran
+        ok_rank2 = stats.get("pdsch_tx_rank2", 0) > 0 \
+            and stats.get("pdsch_rank2", 0) > 0
+    else:
+        ok_rank2 = True
     stats["dl_retx"] = enb.mac.metrics["dl_retx"]
     total_pings = n_pings * len(ues) + (1 if burst_bytes else 0)
     impaired = fading_profile is not None or snr_db < 25
@@ -151,7 +162,7 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
           and stats["prach"] == len(ues)
           and stats["dl_ping_rx"] == total_pings
           and stats["ul_ping_rx"] >= total_pings
-          and all_cqi_target)
+          and all_cqi_target and ok_rank2)
     if impaired:
         # HARQ-under-fire: losses must occur AND be recovered (attach +
         # 0% ping loss above, retransmissions on the affected link —
@@ -176,6 +187,7 @@ def main() -> int:
     ap.add_argument("--burst", type=int, default=0)
     ap.add_argument("--fading", choices=("epa", "eva", "etu"), default=None)
     ap.add_argument("--doppler", type=float, default=5.0)
+    ap.add_argument("--tm", type=int, default=1, choices=(1, 3, 4))
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args()
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -186,7 +198,8 @@ def main() -> int:
                               nof_prb=args.prb, n_ues=args.ues,
                               n_cc=args.cc, burst_bytes=args.burst,
                               fading_profile=args.fading,
-                              doppler_hz=args.doppler, verbose=args.v)
+                              doppler_hz=args.doppler, tm=args.tm,
+                              verbose=args.v)
     for ue in ues:
         print(f"ue{ue.idx}: attached={ue.nas.is_registered()} "
               f"crnti={ue.crnti:#x} cqi={ue.cqi_sent}")
