@@ -74,6 +74,7 @@ class UeNode:
         self.tm = tm
         self.last_ri = 1
         self.last_pmi = 1
+        self.si_1c = False   # monitor the format-1C length on SI-RNTI
         self.cqi_sent: list[int] = []
         self.pending_ack: list[tuple[int, int, int]] = []   # (tti, n_pucch, bit)
         self.pending_pusch: list[tuple[int, object, bytes]] = []  # (tti, cfg, pdu)
@@ -345,7 +346,8 @@ class UePhy:
             rx = air.ue_dl_rx_multi(
                 dl_samples, rnti, sf=ue_sf,
                 harq_bufs=(ue.dl_softbufs if rnti == ue.crnti else None),
-                mimo_fmt=(fmt if rnti == ue.crnti else None))
+                mimo_fmt=(fmt if rnti == ue.crnti else None),
+                common_1c=(ue.si_1c and rnti == SI_RNTI))
             ue.last_snr = rx["snr_db"]
             if "ri" in rx:
                 ue.last_ri, ue.last_pmi = rx["ri"], max(1, rx["pmi"])
@@ -528,6 +530,25 @@ class EnbNode:
                 self.ack_watch.append((tti + 4, it.grant.rnti,
                                        it.grant.harq_pid, cce_start + 1,
                                        0, 1))
+                continue
+            if isinstance(it.dci, dci_mod.Dci1C):
+                # compact SI/RAR/paging assignment (ra_dl.c format 1C:
+                # QPSK, TBS straight from Table 7.1.7.2.3-1)
+                bits = dci_mod.pack_1c(it.dci, nof_prb)
+                alloc = air.cch.alloc(it.grant.rnti, used_cces, min_l=4,
+                                      sf=sf)
+                if alloc is None:
+                    continue
+                l_agg, cce_start = alloc
+                from srsran_4g_tpu.models import pdsch as pdsch_mod
+                cfg = pdsch_mod.PdschConfig(
+                    cell=air.cell, rnti=it.grant.rnti, subframe=sf,
+                    mod="qpsk", tbs=it.grant.tbs,
+                    prb_alloc=dci_mod.dci1c_prbs(it.dci, nof_prb))
+                tx_list.append((cfg, it.pdu, bits, it.grant.rnti, l_agg,
+                                cce_start))
+                stats["pdsch_tx"] += 1
+                stats["dci_tx"] += 1
                 continue
             bits = dci_mod.pack_1a(it.dci, nof_prb)
             alloc = air.cch.alloc(it.grant.rnti, used_cces,

@@ -157,3 +157,15 @@ def prbs_to_rbg_bitmap(prbs, n_rb: int) -> int:
     assert set(type0_alloc_to_prbs(bitmap, n_rb)) == s, \
         "PRB set is not RBG-aligned"
     return bitmap
+
+
+# 36.213 Table 7.1.7.2.3-1: TBS for DCI format 1C (QPSK always; the MCS
+# field IS the row index) — reference ra_dl.c:37 tbs_format1c_table
+TBS_FORMAT1C = (
+    40, 56, 72, 120, 136, 144, 176, 208, 224, 256, 280,
+    296, 328, 336, 392, 488, 552, 600, 632, 696, 776, 840,
+    904, 1000, 1064, 1128, 1224, 1288, 1384, 1480, 1608, 1736)
+
+
+def dl_tbs_1c(i_tbs: int) -> int:
+    return TBS_FORMAT1C[i_tbs]

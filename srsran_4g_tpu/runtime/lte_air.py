@@ -445,7 +445,8 @@ class LteAirPhy:
 
     def ue_dl_rx_multi(self, samples, rnti: int, sf: int = DL_SF,
                        harq_bufs: dict | None = None,
-                       mimo_fmt: str | None = None) -> dict:
+                       mimo_fmt: str | None = None,
+                       common_1c: bool = False) -> dict:
         """Blind-decode the UE's full search space for `rnti`.
 
         Returns dict(snr_db, hits=[{dci|ul_dci|dci2, cce_start, pdu?,
@@ -466,6 +467,10 @@ class LteAirPhy:
         `mimo_fmt`: "2" (TM4) or "2A" (TM3) adds a second blind search
         at that format's payload length (ue_dl.c:543-548 searches the
         TM-specific format alongside 0/1A).
+
+        `common_1c`: also search the format-1C payload length — the
+        compact SI/RAR/paging format a real UE always monitors in the
+        common search space (ra_dl.c:383 P/SI/RA-RNTI accept 1A/1C).
         """
         grids, h, h1, h_full, nv, snr_db = self._ue_front(samples, sf)
         grid0 = grids[:, 0] if self.nof_rx == 2 else grids
@@ -488,6 +493,8 @@ class LteAirPhy:
                     if mimo_fmt == "2"
                     else dci_mod.format2a_len(self.cell.nof_prb, 2))
             out2 = run_blind(len2)
+        out1c = (run_blind(dci_mod.format1c_len(self.cell.nof_prb))
+                 if common_1c else None)
         cands = pdcch_mod.search_space_candidates(
             self.cell, self.cell.cfi, rnti, sf)
         ok = np.asarray(out["ok_per_candidate"][0])
@@ -496,17 +503,39 @@ class LteAirPhy:
                if out2 is not None else np.zeros_like(ok))
         payloads2 = (np.asarray(out2["payload_per_candidate"][0])
                      if out2 is not None else None)
-        if not ok.any() and not ok2.any():
+        ok1c = (np.asarray(out1c["ok_per_candidate"][0])
+                if out1c is not None else np.zeros_like(ok))
+        payloads1c = (np.asarray(out1c["payload_per_candidate"][0])
+                      if out1c is not None else None)
+        if not ok.any() and not ok2.any() and not ok1c.any():
             return res
         used: set[int] = set()
         for i in sorted(range(len(cands)), key=lambda i: cands[i][0]):
-            if not (ok[i] or ok2[i]):
+            if not (ok[i] or ok2[i] or ok1c[i]):
                 continue
             l_agg, start = cands[i]
             cces = set(range(start, start + l_agg))
             if cces & used:
                 continue
             used |= cces
+            if ok1c[i] and not ok[i] and not ok2[i]:
+                d1c = dci_mod.unpack_1c(payloads1c[i], self.cell.nof_prb)
+                cfg = pdsch_mod.PdschConfig(
+                    cell=self.cell, rnti=rnti, subframe=sf, mod="qpsk",
+                    tbs=ra.dl_tbs_1c(d1c.mcs),
+                    prb_alloc=dci_mod.dci1c_prbs(d1c, self.cell.nof_prb))
+                h_1c = h if h1 is None else self.jax.numpy.stack(
+                    [h, h1], axis=1)
+                dec = self._fn(("pdsch_dec", cfg, False), lambda cfg=cfg:
+                               functools.partial(pdsch_mod.decode, cfg,
+                                                 n_iter=6))
+                r = dec(grid0, h=h_1c, noise_var=nv)
+                pdu = (np.packbits(np.asarray(r["bits"][0],
+                                              np.uint8)).tobytes()
+                       if bool(r["crc_ok"][0]) else None)
+                res["hits"].append(dict(dci_1c=d1c, cce_start=start,
+                                        pdu=pdu))
+                continue
             if ok2[i] and not ok[i]:
                 d2 = (dci_mod.unpack_2(payloads2[i], self.cell.nof_prb)
                       if mimo_fmt == "2"

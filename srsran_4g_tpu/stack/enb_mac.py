@@ -107,9 +107,12 @@ class EnbMac:
 
     def __init__(self, nof_prb: int, dl_policy: str = "pf",
                  prb_quant: bool = False, first_rnti: int = 0x46,
-                 tm: int = 1) -> None:
+                 tm: int = 1, si_dci_1c: bool = False) -> None:
         self.nof_prb = nof_prb
         self.tm = tm  # cell transmission mode (enb.conf.example:17-31 tm=N)
+        # SI on DCI format 1C instead of 1A (the reference's compact
+        # SI/RAR/paging format, ra_dl.c tbs_format1c_table + dci.c:346)
+        self.si_dci_1c = si_dci_1c
         self.dl_sched = sched.DlScheduler(nof_prb, policy=dl_policy)
         self.ul_sched = sched.UlScheduler(nof_prb)
         self.prb_quant = prb_quant
@@ -144,15 +147,40 @@ class EnbMac:
         i = (tti // self.si_period_ttis) % n
         payload = self.si_messages[i]
         want = (len(payload) + 1) * 8
+        self.metrics["si_tx"] += 1
+        if self.si_dci_1c:
+            return self._si_item_1c(payload, want)
         n_prb = 1
         while ra.dl_tbs(SI_MCS, n_prb) < want:
             n_prb += 1
         tbs = ra.dl_tbs(SI_MCS, n_prb)
-        self.metrics["si_tx"] += 1
         grant = sched.DlGrant(rnti=SI_RNTI, harq_pid=0, mcs=SI_MCS, tbs=tbs,
                               prb_mask=tuple(range(n_prb)), rv=0, ndi=0,
                               is_retx=False)
         d = dci_mod.Dci1A(rb_start=0, l_crbs=n_prb, mcs=SI_MCS)
+        return DlSchedItem(grant=grant, pdu=payload.ljust(tbs // 8, b"\0"),
+                           dci=d, is_rar=True)
+
+    def _si_item_1c(self, payload: bytes, want: int) -> DlSchedItem:
+        """SI on DCI format 1C: the MCS field is a direct index into the
+        36.213 Table 7.1.7.2.3-1 TBS table (QPSK), the RIV addresses
+        N_RB_step-unit blocks (ra_dl.c:234-246, dci.c dci_format1Cs)."""
+        i_tbs = 0
+        while ra.TBS_FORMAT1C[i_tbs] < want:
+            i_tbs += 1
+        tbs = ra.TBS_FORMAT1C[i_tbs]
+        step = ra.type2_n_rb_step(self.nof_prb)
+        n_vrb = ra.type2_n_vrb_dl(self.nof_prb, True) // step
+        # smallest step-unit count whose QPSK capacity carries the TBS
+        # (conservative RE estimate: 10 data symbols x 12 SC x 2 bits)
+        l_step = 1
+        while l_step < n_vrb and (l_step * step) * 10 * 12 * 2 < tbs + 24:
+            l_step += 1
+        d = dci_mod.Dci1C(riv=ra.riv_encode(n_vrb, l_step, 0), mcs=i_tbs)
+        prbs = dci_mod.dci1c_prbs(d, self.nof_prb)
+        self.metrics["si_1c_tx"] = self.metrics.get("si_1c_tx", 0) + 1
+        grant = sched.DlGrant(rnti=SI_RNTI, harq_pid=0, mcs=i_tbs, tbs=tbs,
+                              prb_mask=prbs, rv=0, ndi=0, is_retx=False)
         return DlSchedItem(grant=grant, pdu=payload.ljust(tbs // 8, b"\0"),
                            dci=d, is_rar=True)
 

@@ -140,3 +140,21 @@ def test_spatial_multiplexing_over_the_air(tm, prb):
     # pdsch_tx_rank2 > 0 itself proves the CSI loop closed: the
     # scheduler only goes dual-codeword after receiving the UE's RI=2
     # report over PUCCH (sched.py dual gating on ue.ri >= 2)
+
+
+@pytest.mark.parametrize("prb", [6, 50])
+def test_si_on_dci_format_1c(prb):
+    """SI broadcast on the compact DCI format 1C (the reference's
+    SI/RAR/paging format — ra_dl.c:383 accepts 1A/1C on SI-RNTI,
+    TBS straight from Table 7.1.7.2.3-1): the UE monitors the 1C
+    payload length in the common search space, acquires SI from
+    1C-granted PDSCH and completes attach + pings."""
+    import run_lte
+
+    ok, stats, ues, mme = run_lte.run(
+        n_ttis=300, n_pings=2, snr_db=30.0, nof_prb=prb, n_ues=1,
+        si_1c=True)
+    assert ok, stats
+    assert stats["si_1c_tx"] > 0, stats
+    assert stats["pdsch_ko"] == 0, stats
+    assert all(u.rrc.idle.si_acquired() for u in ues)

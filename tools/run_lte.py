@@ -37,7 +37,7 @@ from srsran_4g_tpu.apps.nodes import EnbNode, UeNode, UePhy  # noqa: E402
 def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
         n_ues: int = 1, n_cc: int = 1, burst_bytes: int = 0,
         fading_profile: str | None = None, doppler_hz: float = 5.0,
-        tm: int = 1, verbose: bool = False):
+        tm: int = 1, si_1c: bool = False, verbose: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -74,12 +74,17 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
 
     # ----- UEs
     ues = [UeNode(i, air, stats, log, tm=tm) for i in range(n_ues)]
+    for ue in ues:
+        ue.si_1c = si_1c
     ue_phys = [UePhy(ue, air, air_s) for ue in ues]
     for ue in ues:
         hss.add_subscriber(ue.ucfg.imsi, ue.ucfg.k, ue.ucfg.opc)
 
     # ----- eNB node, S1 wired straight into the in-process MME
     enb = EnbNode(air, stats, log, air_s=air_s, tm=tm)
+    if si_1c:
+        # broadcast SI on the compact format 1C (ra_dl.c:383; dci.c:346)
+        enb.mac.si_dci_1c = True
     enb.rrc.tx_s1ap = lambda pdu: [enb.rrc.rx_s1ap(r)
                                    for r in mme.rx_s1ap(pdu)]
     enb.s1u_tx = mme.spgw.rx_s1u
@@ -153,6 +158,9 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
     else:
         ok_rank2 = True
     stats["dl_retx"] = enb.mac.metrics["dl_retx"]
+    stats["si_1c_tx"] = enb.mac.metrics.get("si_1c_tx", 0)
+    if si_1c:
+        ok_rank2 = ok_rank2 and stats["si_1c_tx"] > 0
     total_pings = n_pings * len(ues) + (1 if burst_bytes else 0)
     impaired = fading_profile is not None or snr_db < 25
     all_cqi_target = all(
@@ -188,6 +196,8 @@ def main() -> int:
     ap.add_argument("--fading", choices=("epa", "eva", "etu"), default=None)
     ap.add_argument("--doppler", type=float, default=5.0)
     ap.add_argument("--tm", type=int, default=1, choices=(1, 3, 4))
+    ap.add_argument("--si-1c", action="store_true",
+                    help="broadcast SI on DCI format 1C")
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args()
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -199,7 +209,7 @@ def main() -> int:
                               n_cc=args.cc, burst_bytes=args.burst,
                               fading_profile=args.fading,
                               doppler_hz=args.doppler, tm=args.tm,
-                              verbose=args.v)
+                              si_1c=args.si_1c, verbose=args.v)
     for ue in ues:
         print(f"ue{ue.idx}: attached={ue.nas.is_registered()} "
               f"crnti={ue.crnti:#x} cqi={ue.cqi_sent}")
