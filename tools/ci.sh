@@ -30,6 +30,16 @@ if [ "$NO_TPU" != "--no-tpu" ]; then
 
   echo "=== stage 5 (TPU): headline bench ==="
   python bench.py
+
+  echo "=== stage 6 (TPU, non-fatal): axon platform-bug regression gates ==="
+  # known platform bugs, recorded not fatal (ARCHITECTURE.md "Known
+  # platform cliff"): fused-graph CRC miscompile above batch ~192, and
+  # the >20-min TM4 2x2 AOT compile.  Exit 1 only on a REGRESSION
+  # (the always-correct split graph failing).
+  python tools/axon_repro.py batch_cliff \
+    || echo "ci: axon batch_cliff REGRESSION (see artifacts/axon_repro.json)"
+  python tools/axon_repro.py mimo_compile --budget 2400 \
+    || echo "ci: axon mimo_compile child error (see artifacts/axon_repro.json)"
 fi
 
 echo "CI: all stages green"

@@ -140,19 +140,34 @@ def main():
     ncpu = multiprocessing.cpu_count()
     res = {"host_cpus": ncpu}
 
-    def pdsch_us_per_sf(n_proc):
-        lo, hi = 1000, 6000
-        t_lo = min(wall([pdsch, "-n", "100", "-m", "28", "-X", str(lo)], n_proc)
+    def sf_per_s(base_args, n_proc, lo, hi):
+        """Aggregate subframes/s: n_proc concurrent processes each run
+        `lo` then `hi` repetitions; the wall-clock difference covers
+        n_proc·(hi−lo) subframes.  (A prior revision divided the per-rep
+        wall by n_proc AND multiplied the rate by ncpu — double-counting
+        the process count and inflating every `_host` figure ×2.)"""
+        t_lo = min(wall([pdsch, *base_args, "-X", str(lo)], n_proc)
                    for _ in range(2))
-        t_hi = min(wall([pdsch, "-n", "100", "-m", "28", "-X", str(hi)], n_proc)
+        t_hi = min(wall([pdsch, *base_args, "-X", str(hi)], n_proc)
                    for _ in range(2))
-        return (t_hi - t_lo) / (hi - lo) * 1e6 / n_proc
+        return n_proc * (hi - lo) / (t_hi - t_lo)
 
-    us1 = pdsch_us_per_sf(1)
-    usN = pdsch_us_per_sf(ncpu)
-    res["pdsch_100prb_mcs28_us_per_sf_1proc"] = round(us1, 1)
-    res["pdsch_100prb_mcs28_sf_per_s_1proc"] = round(1e6 / us1, 1)
-    res["pdsch_100prb_mcs28_sf_per_s_host"] = round(1e6 / usN * ncpu, 1)
+    siso = ["-n", "100", "-m", "28"]
+    r1 = sf_per_s(siso, 1, 1000, 6000)
+    rN = sf_per_s(siso, ncpu, 1000, 6000)
+    res["pdsch_100prb_mcs28_us_per_sf_1proc"] = round(1e6 / r1, 1)
+    res["pdsch_100prb_mcs28_sf_per_s_1proc"] = round(r1, 1)
+    res["pdsch_100prb_mcs28_sf_per_s_host"] = round(rN, 1)
+
+    # TM4 2x2 dual-codeword (the reference's 150 Mb/s headline mode):
+    # pdsch_test -x 4 -a 2 -m 28 -M 28 -p 2 (pdsch_test.c:73-77)
+    mimo = ["-n", "100", "-x", "4", "-a", "2", "-m", "28", "-M", "28",
+            "-p", "2", "-t", "0"]
+    m1 = sf_per_s(mimo, 1, 500, 3500)
+    mN = sf_per_s(mimo, ncpu, 500, 3500)
+    res["pdsch_mimo2x2_mcs28_us_per_sf_1proc"] = round(1e6 / m1, 1)
+    res["pdsch_mimo2x2_mcs28_sf_per_s_1proc"] = round(m1, 1)
+    res["pdsch_mimo2x2_mcs28_sf_per_s_host"] = round(mN, 1)
 
     # turbo: the test's own per-frame print is reliable (sub-second)
     r = subprocess.run([str(work / "turbodecoder_test"), "-l", "6144", "-n",
@@ -164,7 +179,8 @@ def main():
         med = sorted(us)[len(us) // 2]
         res["turbo_k6144_4iter_us_per_frame_1proc"] = med
         res["turbo_k6144_4iter_mbps_1proc"] = round(6144 / med, 1)
-        res["turbo_k6144_4iter_mbps_host"] = round(6144 / med * ncpu, 1)
+        # assumed-linear extrapolation of the 1-proc figure (not measured)
+        res["turbo_k6144_4iter_mbps_host_linear"] = round(6144 / med * ncpu, 1)
 
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/ref_baseline.json", "w") as f:
