@@ -35,6 +35,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _record(case: str, data: dict) -> None:
     os.makedirs("artifacts", exist_ok=True)
