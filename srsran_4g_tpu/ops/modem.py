@@ -123,21 +123,37 @@ def demodulate_soft(
     qm = BITS_PER_SYMBOL[mod]
     m = qm // 2
     levels_np, patterns_np, _ = _axis_tables(mod)
-    levels = jnp.asarray(levels_np, dtype=jnp.float32)  # (2^m,)
-    # +inf masks: mask0[l, j] = inf where pattern bit j of level l is 1
-    big = jnp.float32(1e30)
-    mask1 = jnp.asarray(patterns_np, dtype=jnp.float32) * big  # (2^m, m)
-    mask0 = big - mask1
+    # Per-axis metric for level l: (y-l)^2 = y^2 - 2ly + l^2; the y^2 term
+    # is common to every level and cancels in d0-d1, so use l^2 - 2ly.
+    # The 2^m levels are unrolled in Python — everything stays a chain of
+    # (..., S)-shaped elementwise fma/min ops that XLA fuses into ONE
+    # pass over the symbols, instead of materialising a (..., S, 2, 2^m, m)
+    # masked-min tensor (at the 20 MHz bench shape that intermediate is
+    # ~0.5 GB and made soft demod the front-end's cost center).
+    inv = jnp.asarray(inv_nv, jnp.float32)
 
-    y = jnp.stack([jnp.real(symbols), jnp.imag(symbols)], axis=-1).astype(
-        jnp.float32
-    )  # (..., S, 2)
-    d = (y[..., None] - levels) ** 2  # (..., S, 2, 2^m)
-    d0 = jnp.min(d[..., None] + mask1, axis=-2)  # (..., S, 2, m) min over b=0
-    d1 = jnp.min(d[..., None] + mask0, axis=-2)  # min over b=1
-    llr = (d0 - d1) * jnp.asarray(inv_nv)[..., None, None]
-    # (..., S, 2, m) → (..., S, m, 2) → (..., S*Qm) as [I0 Q0 I1 Q1 ...]
-    llr = jnp.swapaxes(llr, -1, -2)
+    def tree_min(xs):
+        while len(xs) > 1:
+            xs = [jnp.minimum(xs[i], xs[i + 1])
+                  for i in range(0, len(xs) - 1, 2)] + (
+                      [xs[-1]] if len(xs) % 2 else [])
+        return xs[0]
+
+    planes = []  # per symbol: [I0, Q0, I1, Q1, ...]
+    axes = (jnp.real(symbols).astype(jnp.float32),
+            jnp.imag(symbols).astype(jnp.float32))
+    metrics = [[np.float32(l * l) - np.float32(2.0 * l) * y
+                for l in levels_np] for y in axes]
+    for j in range(m):
+        for ax in range(2):
+            ms = metrics[ax]
+            d0 = tree_min([ms[i] for i in range(1 << m)
+                           if not patterns_np[i][j]])
+            d1 = tree_min([ms[i] for i in range(1 << m)
+                           if patterns_np[i][j]])
+            planes.append((d0 - d1) * inv)
+    # interleave to [I0 Q0 I1 Q1 ...] per symbol
+    llr = jnp.stack(planes, axis=-1)  # (..., S, Qm)
     return llr.reshape(symbols.shape[:-1] + (symbols.shape[-1] * qm,)).astype(
         jnp.float32
     )
