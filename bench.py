@@ -62,9 +62,10 @@ def main() -> None:
     )
     import os
 
-    # batch sweep on v5e (round 4, artifacts/dp_evidence.json): 32→4792,
-    # 64→9925, 96→12765, 128→14182 (plateau), 160→11912 sf/s; above ~160
-    # the axon backend miscompiles the fused graph (see ARCHITECTURE.md)
+    # batch sweep on v5e (round 5, after the soft-demod rewrite):
+    # 96→19391, 128→23025 (plateau), 160→15475 sf/s; above ~160 the axon
+    # backend miscompiles the fused graph (see ARCHITECTURE.md +
+    # tools/axon_repro.py batch_cliff)
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     n_iter = int(os.environ.get("BENCH_TURBO_ITERS", "4"))
     iters = int(os.environ.get("BENCH_REPS", "32"))
