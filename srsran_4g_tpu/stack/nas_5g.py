@@ -1,75 +1,190 @@
 """5G NAS (TS 24.501): registration/PDU-session messages + UE 5GMM FSM.
 
-Counterpart of the reference's `lib/src/asn1/nas_5g/` generated codec
+Counterpart of the reference's `lib/src/asn1/nas_5g_*` generated codec
 (~9.7 k LoC) and `srsue/src/stack/upper/nas_5g.cc`: Registration
 Request/Accept/Complete, Authentication Request/Response (5G-AKA with
 the same Milenage core), Security Mode Command/Complete, PDU Session
-Establishment Request/Accept, Deregistration — with the 24.501
-security-protected framing (reusing the shared EIA2/EEA2 machinery).
+Establishment Request/Accept over UL/DL NAS TRANSPORT, Deregistration.
+
+Every message is 24.501-exact on the wire via `nas_5gs_codec` (proven
+through the reference's own compiled nas_5g_msg.cc in
+tests/test_nas5g_wire_exact.py): SUCI mobile identity (null scheme),
+5G-GUTI, ABBA/RAND/AUTN IEs, replayed UE security capabilities, and the
+5GSM messages riding UL/DL NAS TRANSPORT payload containers as the spec
+requires.  Post-SMC messages travel in the security-protected envelope
+(EIA2 MAC + EEA2 ciphering via `protect`/`unprotect`).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from . import nas_msgs  # shares pack_protected/unpack_protected framing
+from . import nas_5gs_codec as C
 from . import security
 from .usim import Usim
 
-PD_5GMM = 0x7E
-PD_5GSM = 0x2E
+PD_5GMM = C.EPD_5GMM
+PD_5GSM = C.EPD_5GSM
 
-MSG_REGISTRATION_REQUEST = 0x41
-MSG_REGISTRATION_ACCEPT = 0x42
-MSG_REGISTRATION_COMPLETE = 0x43
-MSG_DEREG_REQUEST = 0x45
-MSG_AUTH_REQUEST = 0x56
-MSG_AUTH_RESPONSE = 0x57
-MSG_SEC_MODE_COMMAND = 0x5D
-MSG_SEC_MODE_COMPLETE = 0x5E
-MSG_PDU_SESSION_EST_REQUEST = 0xC1
-MSG_PDU_SESSION_EST_ACCEPT = 0xC2
+MSG_REGISTRATION_REQUEST = C.MSG_REGISTRATION_REQUEST
+MSG_REGISTRATION_ACCEPT = C.MSG_REGISTRATION_ACCEPT
+MSG_REGISTRATION_COMPLETE = C.MSG_REGISTRATION_COMPLETE
+MSG_AUTH_REQUEST = C.MSG_AUTHENTICATION_REQUEST
+MSG_AUTH_RESPONSE = C.MSG_AUTHENTICATION_RESPONSE
+MSG_SEC_MODE_COMMAND = C.MSG_SECURITY_MODE_COMMAND
+MSG_SEC_MODE_COMPLETE = C.MSG_SECURITY_MODE_COMPLETE
+MSG_PDU_SESSION_EST_REQUEST = C.MSG_PDU_SESSION_EST_REQUEST
+MSG_PDU_SESSION_EST_ACCEPT = C.MSG_PDU_SESSION_EST_ACCEPT
 
+# sec-header values (24.501 §9.3)
+SEC_NONE = 0
+SEC_INTEGRITY = 1
+SEC_INTEGRITY_CIPHERED = 2
+SEC_INTEGRITY_NEW_CTX = 3
+SEC_INTEGRITY_CIPHERED_NEW_CTX = 4
+
+
+# -- SUCI / 5G-GUTI mobile identities (24.501 §9.11.3.4) ----------------------
+
+def _bcd(digits: str, pad: bool = True) -> bytes:
+    out = bytearray()
+    for i in range(0, len(digits), 2):
+        lo = int(digits[i])
+        hi = int(digits[i + 1]) if i + 1 < len(digits) else 0xF
+        out.append((hi << 4) | lo)
+    return bytes(out)
+
+
+def _unbcd(data: bytes) -> str:
+    digits = []
+    for b in data:
+        digits.append(str(b & 0xF))
+        if (b >> 4) != 0xF:
+            digits.append(str(b >> 4))
+    return "".join(digits)
+
+
+def suci_from_imsi(imsi: str) -> bytes:
+    """IMSI → SUCI mobile identity (null protection scheme; MCC 3 +
+    MNC 2 digits, matching UsimConfig's PLMN layout)."""
+    mcc, mnc, msin = imsi[:3], imsi[3:5], imsi[5:]
+    plmn = bytes([
+        (int(mcc[1]) << 4) | int(mcc[0]),
+        (0xF << 4) | int(mcc[2]),
+        (int(mnc[1]) << 4) | int(mnc[0]),
+    ])
+    return (bytes([0x01])           # SUPI format IMSI, type-of-id SUCI
+            + plmn
+            + b"\xf0\xff"           # routing indicator "0"
+            + b"\x00"               # protection scheme: null
+            + b"\x00"               # home network public key id
+            + _bcd(msin))
+
+
+def imsi_from_suci(mid: bytes) -> str:
+    assert mid[0] & 0x07 == 0x01, "not a SUCI identity"
+    p = mid[1:4]
+    mcc = f"{p[0] & 0xF}{p[0] >> 4}{p[1] & 0xF}"
+    mnc = f"{p[2] & 0xF}{p[2] >> 4}"
+    return mcc + mnc + _unbcd(mid[8:])
+
+
+def guti5g_pack(tmsi: int, plmn: bytes = b"\x00\xf1\x10",
+                amf_region: int = 1, amf_set: int = 1,
+                amf_pointer: int = 0) -> bytes:
+    """5G-GUTI mobile identity value (type-of-id 2).
+
+    First octet: 24.501 9.11.3.4 shows the spare nibble as 1111 (0xF2),
+    but the reference's generated encoder writes it as 0000 (0x02,
+    nas_5g_ies.cc mobile_identity_5gs_t pack) — the oracle wins; unpack
+    masks the nibble either way."""
+    sp = (amf_set << 6) | amf_pointer
+    return (bytes([0x02]) + plmn + bytes([amf_region])
+            + sp.to_bytes(2, "big") + tmsi.to_bytes(4, "big"))
+
+
+def guti5g_unpack(mid: bytes) -> int:
+    assert mid[0] & 0x07 == 0x02, "not a 5G-GUTI"
+    return int.from_bytes(mid[7:11], "big")
+
+
+# -- security-protected envelope (24.501 §4.4) --------------------------------
+
+def protect(plain: bytes, k_int: bytes, k_enc: bytes | None, count: int,
+            direction: int, sec_hdr: int = SEC_INTEGRITY_CIPHERED) -> bytes:
+    body = plain
+    if sec_hdr in (SEC_INTEGRITY_CIPHERED, SEC_INTEGRITY_CIPHERED_NEW_CTX) \
+            and k_enc is not None:
+        body = security.eea2(k_enc, count, 1, direction, plain)
+    sn = count & 0xFF
+    mac = security.eia2(k_int, count, 1, direction, bytes([sn]) + body)
+    return bytes([PD_5GMM, sec_hdr]) + mac[:4] + bytes([sn]) + body
+
+
+def unprotect(data: bytes, k_int: bytes, k_enc: bytes | None,
+              count_hint: int, direction: int) -> tuple[bytes, bool, int]:
+    """→ (plain, integrity_ok, count)."""
+    sec_hdr = data[1] & 0x0F
+    if sec_hdr == SEC_NONE:
+        return data, True, count_hint
+    mac_rx = data[2:6]
+    sn = data[6]
+    count = (count_hint & ~0xFF) | sn
+    if count < count_hint and (count_hint - count) > 128:
+        count += 0x100
+    body = data[7:]
+    mac = security.eia2(k_int, count, 1, direction, bytes([sn]) + body)
+    ok = mac[:4] == mac_rx
+    if sec_hdr in (SEC_INTEGRITY_CIPHERED, SEC_INTEGRITY_CIPHERED_NEW_CTX) \
+            and k_enc is not None:
+        body = security.eea2(k_enc, count, 1, direction, body)
+    return body, ok, count
+
+
+# -- typed messages on the exact codec ---------------------------------------
 
 @dataclass
 class RegistrationRequest:
-    suci: str  # IMSI-based SUCI (null scheme)
+    suci: str
     ngksi: int = 7
 
     def pack(self) -> bytes:
-        mid = nas_msgs._imsi_to_mobile_id(self.suci)
-        return bytes([PD_5GMM, MSG_REGISTRATION_REQUEST, self.ngksi,
-                      len(mid)]) + mid
+        m = C.Nas5gsMessage(
+            msg_type=MSG_REGISTRATION_REQUEST,
+            fields={"reg_type_ngksi": (self.ngksi << 4) | 0x01,  # initial
+                    "mobile_identity": suci_from_imsi(self.suci)})
+        return C.encode(m)
 
     @classmethod
-    def unpack(cls, d: bytes) -> "RegistrationRequest":
-        assert d[1] == MSG_REGISTRATION_REQUEST
-        n = d[3]
-        return cls(suci=nas_msgs._mobile_id_to_imsi(d[4:4 + n]), ngksi=d[2])
+    def from_msg(cls, m: C.Nas5gsMessage) -> "RegistrationRequest":
+        return cls(suci=imsi_from_suci(m.fields["mobile_identity"]),
+                   ngksi=m.fields["reg_type_ngksi"] >> 4)
 
 
 @dataclass
 class RegistrationAccept:
     guti_5g: int = 0
-    allowed_nssai: bytes = b"\x01\x00\x00\x00"  # SST=1
+    allowed_nssai: bytes = b"\x01\x01"   # one S-NSSAI: len 1, SST 1
 
     def pack(self) -> bytes:
-        return bytes([PD_5GMM, MSG_REGISTRATION_ACCEPT]) \
-            + self.guti_5g.to_bytes(4, "big") \
-            + bytes([len(self.allowed_nssai)]) + self.allowed_nssai
+        m = C.Nas5gsMessage(
+            msg_type=MSG_REGISTRATION_ACCEPT,
+            fields={"reg_result": b"\x01"},      # 3GPP access
+            ies=[(0x77, "tlve", guti5g_pack(self.guti_5g)),
+                 (0x15, "tlv", self.allowed_nssai)])
+        return C.encode(m)
 
     @classmethod
-    def unpack(cls, d: bytes) -> "RegistrationAccept":
-        assert d[1] == MSG_REGISTRATION_ACCEPT
-        guti = int.from_bytes(d[2:6], "big")
-        n = d[6]
-        return cls(guti_5g=guti, allowed_nssai=bytes(d[7:7 + n]))
+    def from_msg(cls, m: C.Nas5gsMessage) -> "RegistrationAccept":
+        guti = m.ie(0x77)
+        return cls(guti_5g=guti5g_unpack(guti) if guti else 0,
+                   allowed_nssai=m.ie(0x15) or b"")
 
 
 @dataclass
 class RegistrationComplete:
     def pack(self) -> bytes:
-        return bytes([PD_5GMM, MSG_REGISTRATION_COMPLETE])
+        return C.encode(C.Nas5gsMessage(msg_type=MSG_REGISTRATION_COMPLETE))
 
 
 @dataclass
@@ -79,14 +194,16 @@ class AuthRequest5g:
     ngksi: int = 0
 
     def pack(self) -> bytes:
-        return bytes([PD_5GMM, MSG_AUTH_REQUEST, self.ngksi]) + self.rand \
-            + bytes([len(self.autn)]) + self.autn
+        m = C.Nas5gsMessage(
+            msg_type=MSG_AUTH_REQUEST,
+            fields={"ngksi": self.ngksi, "abba": b"\x00\x00"},
+            ies=[(0x21, "tv:16", self.rand), (0x20, "tlv", self.autn)])
+        return C.encode(m)
 
     @classmethod
-    def unpack(cls, d: bytes) -> "AuthRequest5g":
-        assert d[1] == MSG_AUTH_REQUEST
-        return cls(ngksi=d[2], rand=bytes(d[3:19]),
-                   autn=bytes(d[20:20 + d[19]]))
+    def from_msg(cls, m: C.Nas5gsMessage) -> "AuthRequest5g":
+        return cls(rand=m.ie(0x21), autn=m.ie(0x20),
+                   ngksi=m.fields["ngksi"] & 0x0F)
 
 
 @dataclass
@@ -94,13 +211,13 @@ class AuthResponse5g:
     res_star: bytes
 
     def pack(self) -> bytes:
-        return bytes([PD_5GMM, MSG_AUTH_RESPONSE, len(self.res_star)]) \
-            + self.res_star
+        m = C.Nas5gsMessage(msg_type=MSG_AUTH_RESPONSE,
+                            ies=[(0x2D, "tlv", self.res_star)])
+        return C.encode(m)
 
     @classmethod
-    def unpack(cls, d: bytes) -> "AuthResponse5g":
-        assert d[1] == MSG_AUTH_RESPONSE
-        return cls(res_star=bytes(d[3:3 + d[2]]))
+    def from_msg(cls, m: C.Nas5gsMessage) -> "AuthResponse5g":
+        return cls(res_star=m.ie(0x2D) or b"")
 
 
 @dataclass
@@ -109,18 +226,25 @@ class SecModeCommand5g:
     ia: int = 2
 
     def pack(self) -> bytes:
-        return bytes([PD_5GMM, MSG_SEC_MODE_COMMAND, (self.ea << 4) | self.ia])
+        m = C.Nas5gsMessage(
+            msg_type=MSG_SEC_MODE_COMMAND,
+            fields={"nas_sec_algs": (self.ea << 4) | self.ia,
+                    "ngksi": 0,
+                    # replayed UE security capabilities: 5G-EA0/EA2 +
+                    # 5G-IA0/IA2 bitmaps
+                    "replayed_ue_sec_caps": b"\xa0\xa0"})
+        return C.encode(m)
 
     @classmethod
-    def unpack(cls, d: bytes) -> "SecModeCommand5g":
-        assert d[1] == MSG_SEC_MODE_COMMAND
-        return cls(ea=d[2] >> 4, ia=d[2] & 0xF)
+    def from_msg(cls, m: C.Nas5gsMessage) -> "SecModeCommand5g":
+        b = m.fields["nas_sec_algs"]
+        return cls(ea=b >> 4, ia=b & 0xF)
 
 
 @dataclass
 class SecModeComplete5g:
     def pack(self) -> bytes:
-        return bytes([PD_5GMM, MSG_SEC_MODE_COMPLETE])
+        return C.encode(C.Nas5gsMessage(msg_type=MSG_SEC_MODE_COMPLETE))
 
 
 @dataclass
@@ -129,13 +253,24 @@ class PduSessionEstRequest:
     pti: int = 1
 
     def pack(self) -> bytes:
-        return bytes([PD_5GSM, self.session_id, self.pti,
-                      MSG_PDU_SESSION_EST_REQUEST])
+        """Packs the ULNasTransport CARRYING the 5GSM request, as 24.501
+        requires (§8.2.10: 5GSM always rides a transport message)."""
+        sm = C.encode_5gsm(C.Nas5gsSmMessage(
+            msg_type=MSG_PDU_SESSION_EST_REQUEST, psi=self.session_id,
+            pti=self.pti,
+            fields={"int_prot_max_data_rate": b"\xff\xff"}))
+        m = C.Nas5gsMessage(
+            msg_type=C.MSG_UL_NAS_TRANSPORT,
+            fields={"payload_container_type": 0x01,   # N1 SM information
+                    "payload_container": sm},
+            ies=[(0x12, "tv:1", bytes([self.session_id])),
+                 (0x80, "tvh", b"\x01")])              # initial request
+        return C.encode(m)
 
     @classmethod
-    def unpack(cls, d: bytes) -> "PduSessionEstRequest":
-        assert d[3] == MSG_PDU_SESSION_EST_REQUEST
-        return cls(session_id=d[1], pti=d[2])
+    def from_msg(cls, m: C.Nas5gsMessage) -> "PduSessionEstRequest":
+        sm = C.decode_5gsm(m.fields["payload_container"])
+        return cls(session_id=sm.psi, pti=sm.pti)
 
 
 @dataclass
@@ -145,16 +280,33 @@ class PduSessionEstAccept:
     ip_addr: bytes = b"\x00\x00\x00\x00"
 
     def pack(self) -> bytes:
-        return bytes([PD_5GSM, self.session_id, 0,
-                      MSG_PDU_SESSION_EST_ACCEPT, self.qfi]) + self.ip_addr
+        # minimal authorized QoS rule: rule id 1, create (op 001, DQR),
+        # one match-all packet filter, QRI/QFI
+        rule = bytes([0x01, 0x00, 0x06, 0x31, 0x31, 0x01, 0x01, 0x09,
+                      self.qfi])
+        sm = C.encode_5gsm(C.Nas5gsSmMessage(
+            msg_type=MSG_PDU_SESSION_EST_ACCEPT, psi=self.session_id,
+            pti=1,
+            fields={"pdu_session_type_ssc_mode": 0x11,   # IPv4, SSC 1
+                    "qos_rules": rule,
+                    "session_ambr": b"\x06\xff\xff\x06\xff\xff"},
+            ies=[(0x29, "tlv", b"\x01" + self.ip_addr)]))
+        m = C.Nas5gsMessage(
+            msg_type=C.MSG_DL_NAS_TRANSPORT,
+            fields={"payload_container_type": 0x01,
+                    "payload_container": sm},
+            ies=[(0x12, "tv:1", bytes([self.session_id]))])
+        return C.encode(m)
 
     @classmethod
-    def unpack(cls, d: bytes) -> "PduSessionEstAccept":
-        assert d[3] == MSG_PDU_SESSION_EST_ACCEPT
-        return cls(session_id=d[1], qfi=d[4], ip_addr=bytes(d[5:9]))
+    def from_msg(cls, m: C.Nas5gsMessage) -> "PduSessionEstAccept":
+        sm = C.decode_5gsm(m.fields["payload_container"])
+        addr = sm.ie(0x29) or b"\x01\x00\x00\x00\x00"
+        qfi = sm.fields["qos_rules"][-1] if sm.fields["qos_rules"] else 1
+        return cls(session_id=sm.psi, qfi=qfi, ip_addr=addr[1:5])
 
 
-_5GMM_TYPES = {
+_BY_TYPE = {
     MSG_REGISTRATION_REQUEST: RegistrationRequest,
     MSG_REGISTRATION_ACCEPT: RegistrationAccept,
     MSG_AUTH_REQUEST: AuthRequest5g,
@@ -164,24 +316,23 @@ _5GMM_TYPES = {
 
 
 def parse(d: bytes):
-    if d[0] == PD_5GMM:
-        t = d[1]
-        if t == MSG_REGISTRATION_COMPLETE:
-            return RegistrationComplete()
-        if t == MSG_SEC_MODE_COMPLETE:
-            return SecModeComplete5g()
-        cls = _5GMM_TYPES.get(t)
-        if cls is None:
-            raise ValueError(f"unknown 5GMM 0x{t:02x}")
-        return cls.unpack(d)
-    if d[0] == PD_5GSM:
-        t = d[3]
-        if t == MSG_PDU_SESSION_EST_REQUEST:
-            return PduSessionEstRequest.unpack(d)
-        if t == MSG_PDU_SESSION_EST_ACCEPT:
-            return PduSessionEstAccept.unpack(d)
-        raise ValueError(f"unknown 5GSM 0x{t:02x}")
-    raise ValueError(f"unknown PD 0x{d[0]:02x}")
+    m = C.decode(d)
+    t = m.msg_type
+    if t == MSG_REGISTRATION_COMPLETE:
+        return RegistrationComplete()
+    if t == MSG_SEC_MODE_COMPLETE:
+        return SecModeComplete5g()
+    if t in (C.MSG_UL_NAS_TRANSPORT, C.MSG_DL_NAS_TRANSPORT):
+        sm = C.decode_5gsm(m.fields["payload_container"])
+        if sm.msg_type == MSG_PDU_SESSION_EST_REQUEST:
+            return PduSessionEstRequest.from_msg(m)
+        if sm.msg_type == MSG_PDU_SESSION_EST_ACCEPT:
+            return PduSessionEstAccept.from_msg(m)
+        raise ValueError(f"unknown 5GSM 0x{sm.msg_type:02x}")
+    cls = _BY_TYPE.get(t)
+    if cls is None:
+        raise ValueError(f"unknown 5GMM 0x{t:02x}")
+    return cls.from_msg(m)
 
 
 # --------------------------------------------------------------------------
@@ -199,6 +350,8 @@ class Nas5gUe:
         self.k_amf: bytes | None = None
         self.k_nas_int: bytes | None = None
         self.k_nas_enc: bytes | None = None
+        self.ul_count = 0
+        self.dl_count = 0
         self.guti_5g = 0
         self.ip_addr: bytes | None = None
         self.events: list[str] = []
@@ -208,7 +361,28 @@ class Nas5gUe:
         self.events.append("registration_request")
         return RegistrationRequest(suci=self.usim.imsi).pack()
 
+    def _tx(self, plain: bytes, new_ctx: bool = False) -> bytes:
+        """Security-protect an outgoing message once NAS security is up."""
+        if self.k_nas_int is None:
+            return plain
+        hdr = (SEC_INTEGRITY_CIPHERED_NEW_CTX if new_ctx
+               else SEC_INTEGRITY_CIPHERED)
+        out = protect(plain, self.k_nas_int, self.k_nas_enc,
+                      self.ul_count, 0, sec_hdr=hdr)
+        self.ul_count += 1
+        return out
+
     def rx(self, pdu: bytes) -> list[bytes]:
+        if len(pdu) > 1 and pdu[0] == PD_5GMM and (pdu[1] & 0x0F) != 0:
+            if self.k_nas_int is None:
+                self.events.append("protected_before_smc")
+                return []
+            pdu, ok, cnt = unprotect(pdu, self.k_nas_int, self.k_nas_enc,
+                                     self.dl_count, 1)
+            if not ok:
+                self.events.append("nas_integrity_fail")
+                return []
+            self.dl_count = cnt + 1
         try:
             msg = parse(pdu)
         except (ValueError, AssertionError, IndexError):
@@ -230,13 +404,13 @@ class Nas5gUe:
             self.k_nas_int = security.k_nas(k_asme, msg.ia, integrity=True)
             self.k_nas_enc = security.k_nas(k_asme, msg.ea, integrity=False)
             self.events.append("smc_done")
-            return [SecModeComplete5g().pack(),
-                    PduSessionEstRequest().pack()]
+            return [self._tx(SecModeComplete5g().pack(), new_ctx=True),
+                    self._tx(PduSessionEstRequest().pack())]
         if isinstance(msg, RegistrationAccept):
             self.guti_5g = msg.guti_5g
             self.state = self.REGISTERED
             self.events.append("registered")
-            return [RegistrationComplete().pack()]
+            return [self._tx(RegistrationComplete().pack())]
         if isinstance(msg, PduSessionEstAccept):
             self.ip_addr = msg.ip_addr
             self.events.append("pdu_session_up")

@@ -254,3 +254,137 @@ def encode(m: Nas5gsMessage) -> bytes:
     if m.sec_hdr == 0:
         return plain
     return bytes([EPD_5GMM, m.sec_hdr]) + m.mac + bytes([m.seq]) + plain
+
+
+# ---- 5GSM (EPD 0x2E) messages (24.501 §8.3; 24.007 §11.2.3.1a) -------------
+# Header: [EPD][PDU session identity][PTI][message type], then mandatory
+# IEs in fixed order and optional TLVs.
+
+MSG_PDU_SESSION_EST_REQUEST = 0xC1
+MSG_PDU_SESSION_EST_ACCEPT = 0xC2
+
+_MANDATORY_5GSM: dict[int, list[tuple[str, str]]] = {
+    # integrity protection maximum data rate: 2 fixed bytes (§9.11.4.7)
+    MSG_PDU_SESSION_EST_REQUEST: [("int_prot_max_data_rate", "v:2")],
+    # selected PDU session type + SSC mode (one byte is NOT how 24.501
+    # packs them: each is a half-octet V field; they pair into one byte),
+    # authorized QoS rules LV-E, session AMBR LV
+    MSG_PDU_SESSION_EST_ACCEPT: [("pdu_session_type_ssc_mode", "b"),
+                                 ("qos_rules", "lve"),
+                                 ("session_ambr", "lv")],
+}
+
+_OPTIONAL_5GSM: dict[int, dict[int, str]] = {
+    MSG_PDU_SESSION_EST_REQUEST: {
+        0x90: "tvh",    # PDU session type (9.11.4.11)
+        0xA0: "tvh",    # SSC mode
+        0x28: "tlv",    # 5GSM capability
+        0x55: "tv:2",   # maximum number of supported packet filters
+        0x39: "tlv",    # SM PDU DN request container
+        0x7B: "tlve",   # extended protocol configuration options
+    },
+    MSG_PDU_SESSION_EST_ACCEPT: {
+        0x59: "tv:1",   # 5GSM cause
+        0x29: "tlv",    # PDU address (9.11.4.10)
+        0x56: "tv:2",   # RQ timer
+        0x22: "tlv",    # S-NSSAI
+        0x79: "tlve",   # authorized QoS flow descriptions
+        0x7B: "tlve",
+        0x25: "tlv",    # DNN
+    },
+}
+
+
+@dataclass
+class Nas5gsSmMessage:
+    msg_type: int
+    psi: int = 1                 # PDU session identity
+    pti: int = 0
+    fields: dict = field(default_factory=dict)
+    ies: list = field(default_factory=list)
+
+    def ie(self, iei: int) -> bytes | None:
+        for i, _, p in self.ies:
+            if i == iei:
+                return p
+        return None
+
+
+def decode_5gsm(data: bytes) -> Nas5gsSmMessage:
+    if data[0] != EPD_5GSM:
+        raise ValueError(f"bad 5GSM EPD 0x{data[0]:02x}")
+    m = Nas5gsSmMessage(msg_type=data[3], psi=data[1], pti=data[2])
+    pos = 4
+    for name, fmt in _MANDATORY_5GSM.get(m.msg_type, []):
+        if fmt == "b":
+            m.fields[name] = data[pos]
+            pos += 1
+        elif fmt.startswith("v:"):
+            n = int(fmt[2:])
+            m.fields[name] = data[pos:pos + n]
+            pos += n
+        elif fmt == "lv":
+            n = data[pos]
+            m.fields[name] = data[pos + 1:pos + 1 + n]
+            pos += 1 + n
+        elif fmt == "lve":
+            n = int.from_bytes(data[pos:pos + 2], "big")
+            m.fields[name] = data[pos + 2:pos + 2 + n]
+            pos += 2 + n
+    table = _OPTIONAL_5GSM.get(m.msg_type, {})
+    while pos < len(data):
+        b0 = data[pos]
+        fmt = table.get(b0)
+        if fmt is None and (b0 & 0xF0) in table \
+                and table[b0 & 0xF0] == "tvh":
+            m.ies.append((b0 & 0xF0, "tvh", bytes([b0 & 0x0F])))
+            pos += 1
+            continue
+        if fmt is None:
+            raise ValueError(f"unknown 5GSM IEI 0x{b0:02x}")
+        if fmt == "tvh":
+            m.ies.append((b0 & 0xF0, "tvh", bytes([b0 & 0x0F])))
+            pos += 1
+        elif fmt.startswith("tv:"):
+            n = int(fmt[3:])
+            m.ies.append((b0, fmt, data[pos + 1:pos + 1 + n]))
+            pos += 1 + n
+        elif fmt == "tlv":
+            n = data[pos + 1]
+            m.ies.append((b0, fmt, data[pos + 2:pos + 2 + n]))
+            pos += 2 + n
+        else:
+            n = int.from_bytes(data[pos + 1:pos + 3], "big")
+            m.ies.append((b0, fmt, data[pos + 3:pos + 3 + n]))
+            pos += 3 + n
+    return m
+
+
+def encode_5gsm(m: Nas5gsSmMessage) -> bytes:
+    out = bytearray([EPD_5GSM, m.psi, m.pti, m.msg_type])
+    for name, fmt in _MANDATORY_5GSM.get(m.msg_type, []):
+        v = m.fields[name]
+        if fmt == "b":
+            out.append(v)
+        elif fmt.startswith("v:"):
+            out += v
+        elif fmt == "lv":
+            out.append(len(v))
+            out += v
+        else:
+            out += len(v).to_bytes(2, "big")
+            out += v
+    for iei, fmt, payload in m.ies:
+        if fmt == "tvh":
+            out.append(iei | (payload[0] & 0x0F))
+        elif fmt.startswith("tv:"):
+            out.append(iei)
+            out += payload
+        elif fmt == "tlv":
+            out += bytes([iei, len(payload)])
+            out += payload
+        else:
+            out.append(iei)
+            out += len(payload).to_bytes(2, "big")
+            out += payload
+    return bytes(out)

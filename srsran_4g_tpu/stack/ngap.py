@@ -210,6 +210,11 @@ class UeRegCtx:
     xres_star: bytes = b""
     k_amf: bytes = b""
     session: object = None
+    # NAS security context (activated when the SMC goes out)
+    k_nas_int: bytes = b""
+    k_nas_enc: bytes = b""
+    ul_count: int = 0
+    dl_count: int = 0
 
 
 class Amf:
@@ -247,7 +252,11 @@ class Amf:
         self.events.append(f"unhandled:{proc}")
         return []
 
-    def _dl(self, ue: UeRegCtx, nas: bytes) -> bytes:
+    def _dl(self, ue: UeRegCtx, nas: bytes, protected: bool = True) -> bytes:
+        if protected and ue.k_nas_int:
+            nas = N5.protect(nas, ue.k_nas_int, ue.k_nas_enc,
+                             ue.dl_count, 1)
+            ue.dl_count += 1
         return pack_pdu(PROC_DL_NAS_TRANSPORT, PDU_INITIATING,
                         NgNasTransport(amf_ue_id=ue.amf_ue_id,
                                        ran_ue_id=ue.ran_ue_id, nas_pdu=nas))
@@ -279,8 +288,19 @@ class Amf:
         ue = self.ues.get(msg.amf_ue_id)
         if ue is None:
             return []
+        pdu = msg.nas_pdu
+        if len(pdu) > 1 and pdu[0] == N5.PD_5GMM and (pdu[1] & 0x0F) != 0:
+            if not ue.k_nas_int:
+                self.events.append("protected_before_smc")
+                return []
+            pdu, ok, cnt = N5.unprotect(pdu, ue.k_nas_int, ue.k_nas_enc,
+                                        ue.ul_count, 0)
+            if not ok:
+                self.events.append("nas_integrity_fail")
+                return []
+            ue.ul_count = cnt + 1
         try:
-            nas = N5.parse(msg.nas_pdu)
+            nas = N5.parse(pdu)
         except (ValueError, AssertionError, IndexError):
             self.events.append("malformed_nas")
             return []
@@ -290,7 +310,14 @@ class Amf:
                 return []
             ue.state = "SMC"
             self.events.append("smc")
-            return [self._dl(ue, N5.SecModeCommand5g().pack())]
+            # activate the NAS security context the moment the SMC goes
+            # out (the SMC itself travels plain; 24.501 integrity-protects
+            # it with the new context — the framework's envelope starts
+            # one message later, mirrored by the UE)
+            ue.k_nas_int = security.k_nas(ue.k_amf, 2, integrity=True)
+            ue.k_nas_enc = security.k_nas(ue.k_amf, 2, integrity=False)
+            return [self._dl(ue, N5.SecModeCommand5g().pack(),
+                             protected=False)]
         if isinstance(nas, N5.SecModeComplete5g) and ue.state == "SMC":
             ue.state = "CTX"
             return []  # wait for the PDU session request
@@ -301,6 +328,16 @@ class Amf:
                 session_id=nas.session_id, ip_addr=sess.ue_ip).pack()
             reg_acc = N5.RegistrationAccept(guti_5g=0x5F000000
                                             + ue.amf_ue_id).pack()
+            if ue.k_nas_int:
+                # the ICS-carried NAS travels protected too, in delivery
+                # order (the gNB forwards reg_acc first, then the 5GSM
+                # accept inside the RRCReconfiguration)
+                reg_acc = N5.protect(reg_acc, ue.k_nas_int, ue.k_nas_enc,
+                                     ue.dl_count, 1)
+                ue.dl_count += 1
+                accept = N5.protect(accept, ue.k_nas_int, ue.k_nas_enc,
+                                    ue.dl_count, 1)
+                ue.dl_count += 1
             k_gnb = security._kdf(ue.k_amf, 0x6E, b"\x00\x00\x00\x01")
             self.events.append("initial_ctx_setup")
             ics = NgInitialCtxSetup(

@@ -1,86 +1,54 @@
-"""NR RRC (TS 38.331 subset): codecs + UE/gNB SA connection entities.
+"""NR RRC (TS 38.331): SA connection entities on the 3GPP-exact codec.
 
 Counterpart of the reference's generated RRC-NR codec (`lib/src/asn1/
 rrc_nr.cc`, ~60 k LoC), `srsue/src/stack/rrc_nr/` and
 `srsgnb/src/stack/rrc/rrc_nr.cc` (~4.5 k): RRCSetupRequest/RRCSetup/
 RRCSetupComplete, SecurityModeCommand/Complete, RRCReconfiguration
-with DRB+SDAP config, UL/DL InformationTransfer — driving the SA
-registration flow against ngap.Amf, with PDCP-NR on SRB1 and
-SDAP/PDCP-NR on DRBs.
+with the full RadioBearerConfig DRB/SDAP/PDCP substructure, and UL/DL
+InformationTransfer — driving the SA registration flow against
+ngap.Amf, with PDCP-NR on SRB1 and SDAP/PDCP-NR on DRBs.
+
+Every PDU on SRB0/SRB1 is 38.331 UPER via the declarative schemas in
+`rrc_nr_uper.py` (the round-4 LTE treatment applied to the NR wire):
+UL-CCCH/DL-CCCH/UL-DCCH/DL-DCCH message wrappers, proven byte-exact
+through the reference's own compiled rrc_nr.cc in
+tests/test_rrc_nr_wire_exact.py.  One deliberate container use: the
+RRCSetup `masterCellGroup` OCTET STRING (opaque on the wire per ASN.1)
+carries the framework's 2-byte C-RNTI assignment instead of a full
+CellGroupConfig — in the reference the C-RNTI arrives via the MAC RA
+procedure which this SA model folds into RRC setup.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 from . import ngap
 from . import nas_5g as N5
+from . import rrc_nr_uper as U
 from . import security
-from .asn1 import BitReader, BitWriter, pack_varlen_bytes, unpack_varlen_bytes
 from .pdcp_nr import PdcpNrConfig, PdcpNrEntity, sdap_pack, sdap_unpack
 
-UL_SETUP_REQUEST = 0
-DL_SETUP = 0
-UL_SETUP_COMPLETE = 0
-UL_SMC_COMPLETE = 1
-UL_RECONF_COMPLETE = 2
-UL_INFO_TRANSFER = 3
-DL_SMC = 0
-DL_RECONF = 1
-DL_INFO_TRANSFER = 2
+# 33.501: NEA2/NIA2 (AES) — the algorithm ids signalled in the AS SMC
+# and fed to the key derivations
+CIPH_ALG = 2
+INT_ALG = 2
 
 
-@dataclass
-class RrcSetupRequest:
-    ue_id: int = 0       # 39-bit random
-    cause: int = 3
-
-    def pack(self) -> bytes:
-        w = BitWriter()
-        w.put(self.ue_id, 39)
-        w.put(self.cause, 4)
-        return w.to_bytes()
-
-    @classmethod
-    def unpack(cls, d: bytes) -> "RrcSetupRequest":
-        r = BitReader(d)
-        return cls(ue_id=r.get(39), cause=r.get(4))
+def _srb1_config() -> dict:
+    return {"srb_identity": 1}
 
 
-@dataclass
-class RrcSetup:
-    c_rnti: int = 0
-
-    def pack(self) -> bytes:
-        w = BitWriter()
-        w.put(self.c_rnti, 16)
-        return w.to_bytes()
-
-    @classmethod
-    def unpack(cls, d: bytes) -> "RrcSetup":
-        return cls(c_rnti=BitReader(d).get(16))
-
-
-def _pack_dcch(msg_type: int, nas_pdu: bytes = b"",
-               extra: bytes = b"") -> bytes:
-    w = BitWriter()
-    w.put(msg_type, 3)
-    pack_varlen_bytes(w, nas_pdu)
-    pack_varlen_bytes(w, extra)
-    return w.to_bytes()
-
-
-def _unpack_dcch(d: bytes) -> tuple[int, bytes, bytes]:
-    r = BitReader(d)
-    t = r.get(3)
-    nas = unpack_varlen_bytes(r)
-    extra = unpack_varlen_bytes(r)
-    return t, nas, extra
+def _ies(msg_value: dict, key: str) -> dict:
+    """critical_extensions → the IEs branch (asserting it is not
+    criticalExtensionsFuture)."""
+    name, v = msg_value["critical_extensions"]
+    assert name == key, (name, key)
+    return v
 
 
 class RrcNrUe:
-    """UE-side SA RRC (rrc_nr.cc + nas_5g glue)."""
+    """UE-side SA RRC (srsue rrc_nr + nas_5g glue)."""
 
     def __init__(self, nas: N5.Nas5gUe | None = None,
                  tx: Callable[[int, bytes], None] | None = None) -> None:
@@ -95,20 +63,38 @@ class RrcNrUe:
 
     def connect(self) -> None:
         self.state = "CONNECTING"
-        self.tx(0, RrcSetupRequest(ue_id=0x123456789 & ((1 << 39) - 1)).pack())
+        pdu = U.pack_msg(U.UL_CCCH_MESSAGE, "rrc_setup_request", {
+            "rrc_setup_request": {
+                "ue_id": ("random_value", 0x123456789 & ((1 << 39) - 1)),
+                "establishment_cause": 3,    # mo-Signalling
+                "spare": 0}})
+        self.tx(0, pdu)
         self.events.append("setup_request")
 
     def rx_ccch(self, pdu: bytes) -> None:
-        setup = RrcSetup.unpack(pdu)
-        self.c_rnti = setup.c_rnti
+        name, v = U.unpack_msg(U.DL_CCCH_MESSAGE, pdu)
+        assert name == "rrc_setup", name
+        ies = _ies(v, "rrc_setup")
+        # C-RNTI from the masterCellGroup container (see module docstring)
+        self.c_rnti = int.from_bytes(ies["master_cell_group"][:2], "big")
         self.state = "CONNECTED"
         self.srb1 = PdcpNrEntity(PdcpNrConfig(is_srb=True, bearer_id=1))
         self.events.append("setup")
         nas_pdu = self.nas.start_registration()
-        self._tx_dcch(_pack_dcch(UL_SETUP_COMPLETE, nas_pdu))
+        self._tx_dcch(U.pack_msg(U.UL_DCCH_MESSAGE, "rrc_setup_complete", {
+            "rrc_transaction_id": v["rrc_transaction_id"],
+            "critical_extensions": ("rrc_setup_complete", {
+                "selected_plmn_identity": 1,
+                "dedicated_nas_msg": nas_pdu})}))
 
     def _tx_dcch(self, rrc_pdu: bytes) -> None:
         self.tx(1, self.srb1.write_sdu(rrc_pdu, direction=0))
+
+    def _tx_ul_info(self, nas_pdu: bytes) -> None:
+        self._tx_dcch(U.pack_msg(
+            U.UL_DCCH_MESSAGE, "ul_information_transfer",
+            {"critical_extensions": ("ul_information_transfer",
+                                     {"dedicated_nas_msg": nas_pdu})}))
 
     def rx_dcch(self, pdcp_pdu: bytes) -> None:
         n0 = len(self.srb1.delivered)
@@ -117,39 +103,53 @@ class RrcNrUe:
             self._handle(sdu)
 
     def _handle(self, pdu: bytes) -> None:
-        t, nas, extra = _unpack_dcch(pdu)
-        if t == DL_SMC:
+        name, v = U.unpack_msg(U.DL_DCCH_MESSAGE, pdu)
+        if name == "security_mode_command":
+            ies = _ies(v, "security_mode_command")
+            alg = ies["security_config_smc"]["security_algorithm_config"]
+            ciph = alg["ciphering_algorithm"]
+            integ = alg.get("integrity_prot_algorithm", 0)
             # derive AS keys off K_gNB (38.331 5.3.4 + 33.501 A.8)
-            replies = self.nas.rx(nas) if nas else []
             k_gnb = security._kdf(self.nas.k_amf, 0x6E, b"\x00\x00\x00\x01")
-            k_int = security.k_rrc_up(k_gnb, 2, "rrc_int")
-            k_enc = security.k_rrc_up(k_gnb, 2, "rrc_enc")
-            self.k_up_enc = security.k_rrc_up(k_gnb, 2, "up_enc")
+            k_int = security.k_rrc_up(k_gnb, integ, "rrc_int")
+            k_enc = security.k_rrc_up(k_gnb, ciph, "rrc_enc")
+            self.k_up_enc = security.k_rrc_up(k_gnb, ciph, "up_enc")
             self.srb1.cfg.integrity_key = k_int
-            self._tx_dcch(_pack_dcch(UL_SMC_COMPLETE))
+            self._tx_dcch(U.pack_msg(
+                U.UL_DCCH_MESSAGE, "security_mode_complete",
+                {"rrc_transaction_id": v["rrc_transaction_id"],
+                 "critical_extensions": ("security_mode_complete", {})}))
             self.srb1.cfg.cipher_key = k_enc
             self.events.append("as_security")
-            # NAS replies (e.g. RegistrationComplete) go out secured
-            for ul in replies:
-                self._tx_dcch(_pack_dcch(UL_INFO_TRANSFER, ul))
-        elif t == DL_RECONF:
-            r = BitReader(extra)
-            n = r.get(4)
-            for _ in range(n):
-                lcid = r.get(5)
-                qfi = r.get(6)
+        elif name == "rrc_reconfiguration":
+            ies = _ies(v, "rrc_reconfiguration")
+            rbc = ies.get("radio_bearer_config", {})
+            for drb in rbc.get("drb_to_add_mod_list", []):
+                lcid = drb["drb_identity"]
+                qfi = 1
+                assoc = drb.get("cn_association")
+                if assoc is not None and assoc[0] == "sdap_config":
+                    flows = assoc[1].get("mapped_qos_flows_to_add", [1])
+                    qfi = flows[0] if flows else 1
                 self.drbs[lcid] = PdcpNrEntity(PdcpNrConfig(
                     is_srb=False, sn_len=18, bearer_id=lcid,
                     cipher_key=getattr(self, "k_up_enc", None)))
                 self.drb_qfi[lcid] = qfi
                 self.events.append(f"drb{lcid}_up")
-            if nas:
+            nce = ies.get("non_critical_extension", {})
+            for nas in nce.get("dedicated_nas_msg_list", []):
                 for ul in self.nas.rx(nas):
-                    self._tx_dcch(_pack_dcch(UL_INFO_TRANSFER, ul))
-            self._tx_dcch(_pack_dcch(UL_RECONF_COMPLETE))
-        elif t == DL_INFO_TRANSFER:
+                    self._tx_ul_info(ul)
+            self._tx_dcch(U.pack_msg(
+                U.UL_DCCH_MESSAGE, "rrc_reconfiguration_complete",
+                {"rrc_transaction_id": v["rrc_transaction_id"],
+                 "critical_extensions":
+                     ("rrc_reconfiguration_complete", {})}))
+        elif name == "dl_information_transfer":
+            ies = _ies(v, "dl_information_transfer")
+            nas = ies.get("dedicated_nas_msg", b"")
             for ul in self.nas.rx(nas):
-                self._tx_dcch(_pack_dcch(UL_INFO_TRANSFER, ul))
+                self._tx_ul_info(ul)
 
     # user plane (SDAP on top of PDCP-NR)
     def write_drb_sdu(self, lcid: int, ip_pkt: bytes) -> None:
@@ -178,7 +178,7 @@ class GnbUeCtx:
 
 
 class RrcNrGnb:
-    """gNB-side SA RRC + NGAP glue (rrc_nr.cc / ngap.cc)."""
+    """gNB-side SA RRC + NGAP glue (srsgnb rrc_nr.cc / ngap.cc)."""
 
     def __init__(self, tx_rrc=None, tx_ngap=None) -> None:
         self.tx_rrc = tx_rrc or (lambda rnti, lcid, pdu: None)
@@ -195,7 +195,8 @@ class RrcNrGnb:
                                    ngap.NgSetupRequest()))
 
     def rx_ccch(self, pdu: bytes) -> int:
-        RrcSetupRequest.unpack(pdu)
+        name, _ = U.unpack_msg(U.UL_CCCH_MESSAGE, pdu)
+        assert name == "rrc_setup_request", name
         rnti = self.next_rnti
         self.next_rnti += 1
         ue = GnbUeCtx(rnti, self.next_ran_id)
@@ -203,11 +204,24 @@ class RrcNrGnb:
         self.ues[rnti] = ue
         self.by_ran_id[ue.ran_ue_id] = ue
         self.events.append("setup_request")
-        self.tx_rrc(rnti, 0, RrcSetup(c_rnti=rnti).pack())
+        setup = U.pack_msg(U.DL_CCCH_MESSAGE, "rrc_setup", {
+            "rrc_transaction_id": 0,
+            "critical_extensions": ("rrc_setup", {
+                "radio_bearer_config": {
+                    "srb_to_add_mod_list": [_srb1_config()]},
+                "master_cell_group": rnti.to_bytes(2, "big")})})
+        self.tx_rrc(rnti, 0, setup)
         return rnti
 
     def _tx_dcch(self, ue: GnbUeCtx, pdu: bytes) -> None:
         self.tx_rrc(ue.rnti, 1, ue.srb1.write_sdu(pdu, direction=1))
+
+    def _tx_dl_info(self, ue: GnbUeCtx, nas_pdu: bytes) -> None:
+        self._tx_dcch(ue, U.pack_msg(
+            U.DL_DCCH_MESSAGE, "dl_information_transfer",
+            {"rrc_transaction_id": 0,
+             "critical_extensions": ("dl_information_transfer",
+                                     {"dedicated_nas_msg": nas_pdu})}))
 
     def rx_dcch(self, rnti: int, pdcp_pdu: bytes) -> None:
         ue = self.ues.get(rnti)
@@ -219,19 +233,24 @@ class RrcNrGnb:
             self._handle(ue, sdu)
 
     def _handle(self, ue: GnbUeCtx, pdu: bytes) -> None:
-        t, nas, extra = _unpack_dcch(pdu)
-        if t == UL_SETUP_COMPLETE:
+        name, v = U.unpack_msg(U.UL_DCCH_MESSAGE, pdu)
+        if name == "rrc_setup_complete":
+            ies = _ies(v, "rrc_setup_complete")
             ue.state = "CONNECTED"
             self.tx_ngap(ngap.pack_pdu(
                 ngap.PROC_INITIAL_UE_MESSAGE, ngap.PDU_INITIATING,
                 ngap.NgInitialUeMessage(ran_ue_id=ue.ran_ue_id,
-                                        nas_pdu=nas)))
-        elif t == UL_SMC_COMPLETE:
-            ue.srb1.cfg.cipher_key = security.k_rrc_up(ue.k_gnb, 2,
+                                        nas_pdu=ies["dedicated_nas_msg"])))
+        elif name == "security_mode_complete":
+            ue.srb1.cfg.cipher_key = security.k_rrc_up(ue.k_gnb, CIPH_ALG,
                                                        "rrc_enc")
             self.events.append("as_security")
+            nas = getattr(ue, "pending_nas", b"")
+            if nas:
+                ue.pending_nas = b""
+                self._tx_dl_info(ue, nas)
             self._setup_drbs(ue)
-        elif t == UL_RECONF_COMPLETE:
+        elif name == "rrc_reconfiguration_complete":
             self.events.append("reconf_complete")
             if ue.state == "RECONF":
                 ue.state = "ACTIVE"
@@ -241,11 +260,14 @@ class RrcNrGnb:
                         amf_ue_id=ue.amf_ue_id, ran_ue_id=ue.ran_ue_id,
                         gnb_teids=[(sid, teid) for sid, teid
                                    in ue.n3_teids.items()])))
-        elif t == UL_INFO_TRANSFER:
+        elif name == "ul_information_transfer":
+            ies = _ies(v, "ul_information_transfer")
             self.tx_ngap(ngap.pack_pdu(
                 ngap.PROC_UL_NAS_TRANSPORT, ngap.PDU_INITIATING,
                 ngap.NgNasTransport(amf_ue_id=ue.amf_ue_id,
-                                    ran_ue_id=ue.ran_ue_id, nas_pdu=nas)))
+                                    ran_ue_id=ue.ran_ue_id,
+                                    nas_pdu=ies.get("dedicated_nas_msg",
+                                                    b""))))
 
     def rx_ngap(self, raw: bytes) -> None:
         try:
@@ -260,7 +282,7 @@ class RrcNrGnb:
             ue = self.by_ran_id.get(msg.ran_ue_id)
             if ue:
                 ue.amf_ue_id = msg.amf_ue_id
-                self._tx_dcch(ue, _pack_dcch(DL_INFO_TRANSFER, msg.nas_pdu))
+                self._tx_dl_info(ue, msg.nas_pdu)
             return
         if proc == ngap.PROC_INITIAL_CTX_SETUP and t == ngap.PDU_INITIATING:
             ue = self.by_ran_id.get(msg.ran_ue_id)
@@ -269,32 +291,59 @@ class RrcNrGnb:
             ue.amf_ue_id = msg.amf_ue_id
             ue.k_gnb = msg.security_key
             ue.pending_sessions = list(msg.pdu_sessions)
-            ue.srb1.cfg.integrity_key = security.k_rrc_up(ue.k_gnb, 2,
+            ue.srb1.cfg.integrity_key = security.k_rrc_up(ue.k_gnb, INT_ALG,
                                                           "rrc_int")
-            ue.k_up_enc = security.k_rrc_up(ue.k_gnb, 2, "up_enc")
-            # NAS SMC rides in the ICS nas_pdu? (here: RegistrationAccept
-            # is deferred to the reconfiguration; SMC went via DL NAS)
-            self._tx_dcch(ue, _pack_dcch(DL_SMC, msg.nas_pdu))
+            ue.k_up_enc = security.k_rrc_up(ue.k_gnb, CIPH_ALG, "up_enc")
+            # the ICS NAS PDU goes out as its own DLInformationTransfer
+            # AFTER AS security activates — the AS SecurityModeCommand
+            # carries no NAS container (38.331 §6.2.2), and an
+            # integrity-protected PDCP PDU before the UE's key activation
+            # would be dropped
+            ue.pending_nas = msg.nas_pdu
+            self._tx_dcch(ue, U.pack_msg(
+                U.DL_DCCH_MESSAGE, "security_mode_command",
+                {"rrc_transaction_id": 0,
+                 "critical_extensions": ("security_mode_command", {
+                     "security_config_smc": {
+                         "security_algorithm_config": {
+                             "ciphering_algorithm": CIPH_ALG,
+                             "integrity_prot_algorithm": INT_ALG}}})}))
             self.events.append("smc_sent")
             return
 
     def _setup_drbs(self, ue: GnbUeCtx) -> None:
-        w = BitWriter()
-        w.put(len(ue.pending_sessions), 4)
-        nas_pdu = b""
+        drb_list = []
+        nas_list = []
         for i, (sid, teid, nas) in enumerate(ue.pending_sessions):
             lcid = 4 + i
-            w.put(lcid, 5)
-            w.put(1, 6)  # QFI
+            drb_list.append({
+                "cn_association": ("sdap_config", {
+                    "pdu_session": sid,
+                    "sdap_hdr_dl": 1,       # absent
+                    "sdap_hdr_ul": 1,
+                    "default_drb": True,
+                    "mapped_qos_flows_to_add": [1]}),
+                "drb_identity": lcid,
+                "pdcp_config": {
+                    "drb": {"pdcp_sn_size_ul": 1, "pdcp_sn_size_dl": 1,
+                            "header_compression": ("not_used", None)},
+                    "t_reordering": 0}})
             ue.drbs[lcid] = PdcpNrEntity(PdcpNrConfig(
                 is_srb=False, sn_len=18, bearer_id=lcid,
                 cipher_key=ue.k_up_enc))
             ue.n3_teids[sid] = self.next_teid
             self.next_teid += 1
             if nas:
-                nas_pdu = nas
+                nas_list.append(nas)
         ue.state = "RECONF"
-        self._tx_dcch(ue, _pack_dcch(DL_RECONF, nas_pdu, w.to_bytes()))
+        ies = {"radio_bearer_config": {"drb_to_add_mod_list": drb_list}}
+        if nas_list:
+            ies["non_critical_extension"] = {
+                "dedicated_nas_msg_list": nas_list}
+        self._tx_dcch(ue, U.pack_msg(
+            U.DL_DCCH_MESSAGE, "rrc_reconfiguration",
+            {"rrc_transaction_id": 1,
+             "critical_extensions": ("rrc_reconfiguration", ies)}))
 
     def drb_tx(self, rnti: int, lcid: int, ip_pkt: bytes) -> bytes:
         ue = self.ues[rnti]

@@ -39,6 +39,7 @@ HARNESS = r"""
 #include "srsran/asn1/rrc/ul_ccch_msg.h"
 #include "srsran/asn1/rrc/ul_dcch_msg.h"
 #include "srsran/asn1/rrc_nbiot.h"
+#include "srsran/asn1/rrc_nr.h"
 #include <cstdio>
 #include <cstring>
 #include <string>
@@ -99,6 +100,10 @@ int main(int argc, char** argv) {
   if (cls == "ul_ccch_nb") return roundtrip<ul_ccch_msg_nb_s>(pdu);
   if (cls == "dl_ccch_nb") return roundtrip<dl_ccch_msg_nb_s>(pdu);
   if (cls == "ul_dcch_nb") return roundtrip<ul_dcch_msg_nb_s>(pdu);
+  if (cls == "ul_ccch_nr") return roundtrip<asn1::rrc_nr::ul_ccch_msg_s>(pdu);
+  if (cls == "dl_ccch_nr") return roundtrip<asn1::rrc_nr::dl_ccch_msg_s>(pdu);
+  if (cls == "ul_dcch_nr") return roundtrip<asn1::rrc_nr::ul_dcch_msg_s>(pdu);
+  if (cls == "dl_dcch_nr") return roundtrip<asn1::rrc_nr::dl_dcch_msg_s>(pdu);
   fprintf(stderr, "unknown class %s\n", cls.c_str());
   return 2;
 }
@@ -121,7 +126,7 @@ def build() -> pathlib.Path:
     (WORK / "harness.cc").write_text(HARNESS)
     objs = []
     srcs = [f"{REF}/asn1_utils.cc", f"{REF}/rrc.cc",
-            f"{REF}/rrc_nbiot.cc"] + [
+            f"{REF}/rrc_nbiot.cc", f"{REF}/rrc_nr.cc"] + [
         f"{REF}/rrc/{m}.cc" for m in RRC_MODULES
     ] + SRSLOG_SRCS + [str(WORK / "harness.cc")]
     for src in srcs:
