@@ -139,8 +139,12 @@ class UeNode:
                 self.rrc.c_rnti = g.temp_crnti
                 st, ln, mcs, tbs = unpack_rar_ul_grant(
                     self.air.cell.nof_prb, g.ul_grant)
-                self._queue_pusch(tti + MSG3_DELAY, st, ln, mcs, tbs,
-                                  pid=(tti + MSG3_DELAY) % 8, ndi=False,
+                # FDD: n+4; TDD: the Table 8-2 delay of the RAR subframe
+                k = self.air.ul_k(tti) if hasattr(self.air, "ul_k") \
+                    else MSG3_DELAY
+                k = k if k is not None else MSG3_DELAY
+                self._queue_pusch(tti + k, st, ln, mcs, tbs,
+                                  pid=(tti + k) % 8, ndi=False,
                                   is_rar=True)
 
     def _queue_pusch(self, due: int, prb_start: int, prb_len: int, mcs: int,
@@ -168,7 +172,9 @@ class UeNode:
             self.last_pusch[pid] = (cfg, out["pdu"], 0)
             from srsran_4g_tpu.models.phich import phich_alloc
             grp, seq = phich_alloc(self.air.cell.nof_prb, prb_start)
-            self.phich_watch.append((due + 4, grp, seq))
+            kp = (self.air.phich_k(due) if hasattr(self.air, "phich_k")
+                  else 4)
+            self.phich_watch.append((due + kp, grp, seq))
 
     def handle_dl_dci(self, tti: int, d, cce_start: int,
                       pdu: bytes | None, cc: int = 0) -> None:
@@ -195,7 +201,8 @@ class UeNode:
         # HARQ-ACK on the PCell PUCCH: n_pucch = first CCE (+ an offset
         # region for the SCell, the framework's channel-selection analog)
         n_pucch = cce_start if cc == 0 else self.air.cch.n_cce + 4 + cce_start
-        self.pending_ack.append((tti + 4, n_pucch, 0 if ok else 1, cc,
+        ka = self.air.ack_k(tti) if hasattr(self.air, "ack_k") else 4
+        self.pending_ack.append((tti + ka, n_pucch, 0 if ok else 1, cc,
                                  d.harq_pid))
 
     def handle_dl_dci_dual(self, tti: int, d, cce_start: int,
@@ -221,9 +228,10 @@ class UeNode:
         else:
             self.stats["pdsch_ko"] += 1
         self.stats["pdsch_rank2"] = self.stats.get("pdsch_rank2", 0) + 1
-        self.pending_ack.append((tti + 4, cce_start,
+        ka = self.air.ack_k(tti) if hasattr(self.air, "ack_k") else 4
+        self.pending_ack.append((tti + ka, cce_start,
                                  0 if pdu is not None else 1, 0, d.harq_pid))
-        self.pending_ack.append((tti + 4, cce_start + 1,
+        self.pending_ack.append((tti + ka, cce_start + 1,
                                  0 if pdu2 is not None else 1, 0,
                                  d.harq_pid))
 
@@ -231,12 +239,17 @@ class UeNode:
         from srsran_4g_tpu.models import ra
 
         tbs = ra.tbs_from_itbs(ra.ul_mcs_to_itbs(d.mcs), d.l_crbs)
-        self._queue_pusch(tti + 4, d.rb_start, d.l_crbs, d.mcs, tbs,
-                          pid=(tti + 4) % 8, ndi=bool(d.ndi), is_rar=False)
+        k = self.air.ul_k(tti) if hasattr(self.air, "ul_k") else 4
+        k = k if k is not None else 4
+        self._queue_pusch(tti + k, d.rb_start, d.l_crbs, d.mcs, tbs,
+                          pid=(tti + k) % 8, ndi=bool(d.ndi), is_rar=False)
 
     # -- UL composition ------------------------------------------------------
 
     def ul_grid(self, tti: int, cqi_due: bool):
+        if getattr(self.air, "frame_type", "fdd") == "tdd" \
+                and self.air.sf_kind(tti) != "U":
+            return None
         pusch = None
         due = [p for p in self.pending_pusch if p[0] <= tti]
         self.pending_pusch = [p for p in self.pending_pusch if p[0] > tti]
@@ -293,6 +306,11 @@ class UePhy:
         self.ue = ue
         self.air = air
         self.air_s = air_s
+        # TDD acquisition needs the PREVIOUS subframe too: the SSS sits
+        # in the last symbol of sf 0/5 while the PSS is in the special
+        # subframe that follows (36.211 §6.11; sync.c frame-type detect)
+        self.prev_dl = None
+        self.prev_tti = -9
 
     def rx_dl(self, tti: int, dl_samples) -> None:
         from srsran_4g_tpu.stack.enb_mac import SI_RNTI
@@ -300,6 +318,22 @@ class UePhy:
 
         ue, air, stats, log = self.ue, self.air, self.ue.stats, self.ue.log
         if ue.sync_state == "search":
+            if getattr(air, "frame_type", "fdd") == "tdd":
+                prev, self.prev_dl = self.prev_dl, dl_samples
+                prev_t, self.prev_tti = self.prev_tti, tti
+                if prev is None or prev_t != tti - 1:
+                    return
+                import jax.numpy as jnp
+                buf = jnp.concatenate([prev, dl_samples], axis=-1)
+                found = air.ue_cell_search_tdd(buf)
+                if found["found"]:
+                    ue.acq_pci = found["cell_id"]
+                    # buffer start (tti-1) is sf 0 (phase 0) or sf 5
+                    ue.sf_off = (tti - 1 - 5 * found["phase"]) % 10
+                    ue.sync_state = "mib"
+                    log(f"tti {tti}: ue{ue.idx} SYNC(TDD) pci="
+                        f"{ue.acq_pci} phase={found['phase']}")
+                return
             found = air.ue_cell_search(dl_samples)
             if found["found"]:
                 ue.acq_pci = found["cell_id"]
@@ -389,8 +423,16 @@ class UePhy:
         if (not ue.prach_sent and pci >= 0 and idle.si_acquired(pci)
                 and idle.serving_pci is None):
             idle.select_cell()
+        if getattr(ue.air, "frame_type", "fdd") == "tdd":
+            # RA occasions cycle over this configuration's UL subframes
+            from srsran_4g_tpu.models import tdd as tdd_mod
+            uls = [s for s in range(10)
+                   if tdd_mod.sf_type(ue.air.ul_dl_config, s) == "U"]
+            occasion = uls[ue.idx % len(uls)]
+        else:
+            occasion = (2 * ue.idx + 2) % 10
         if (not ue.prach_sent and pci >= 0 and idle.serving_pci == pci
-                and tti % 10 == (2 * ue.idx + 2) % 10):
+                and tti % 10 == occasion):
             ue.rrc.connect()
             idx = ue.mac.ra.start(ue.mac.contention_id)
             ue.prach_sent = True
@@ -420,6 +462,11 @@ class EnbNode:
         self.log = log
         self.tm = tm
         self.mac = EnbMac(nof_prb=nof_prb, tm=tm)
+        if getattr(air, "frame_type", "fdd") == "tdd":
+            # SI window moves to a DL subframe; UL grants follow Table 8-2
+            self.mac.si_offset = 0
+            self.mac.ul_k = air.ul_k
+            self.mac.dl_sched.frame_type = "tdd"
         self.mac.ul_sched.edge_guard = 2  # PUCCH format-2 + format-1 regions
         if air_s is not None:
             self.mac.enable_scell(nof_prb)
@@ -494,7 +541,20 @@ class EnbNode:
 
         air, stats, nof_prb = self.air, self.stats, self.air.cell.nof_prb
         sf = tti % 10
-        dl_items = self.mac.get_dl_sched(tti)
+        kind = air.sf_kind(tti) if hasattr(air, "sf_kind") else "D"
+        if kind == "U":
+            # TDD: the eNB receives only — but msg3 grants whose due TTI
+            # is THIS uplink subframe must still arm the PUSCH watch
+            # (get_ul_sched returns only msg3 items when ul_k is None)
+            for it in self.mac.get_ul_sched(tti):
+                if it.is_msg3:
+                    g = it.grant
+                    cfg = _ul_cfg(air.cell, g.rnti, g.prb_start,
+                                  g.prb_len, g.mcs, rv=g.rv, sf=sf)
+                    self.pusch_watch.append((tti, g, cfg))
+            return None, None
+        # special subframes carry control (DwPTS) but no PDSCH here
+        dl_items = self.mac.get_dl_sched(tti) if kind == "D" else []
         ul_items = self.mac.get_ul_sched(tti)
         used_cces: set[int] = set()
         tx_list = []
@@ -525,9 +585,10 @@ class EnbNode:
                 stats["pdsch_tx"] += 2
                 stats["dci_tx"] += 1
                 stats["pdsch_tx_rank2"] = stats.get("pdsch_tx_rank2", 0) + 1
-                self.ack_watch.append((tti + 4, it.grant.rnti,
+                ka = air.ack_k(tti)
+                self.ack_watch.append((tti + ka, it.grant.rnti,
                                        it.grant.harq_pid, cce_start, 0, 0))
-                self.ack_watch.append((tti + 4, it.grant.rnti,
+                self.ack_watch.append((tti + ka, it.grant.rnti,
                                        it.grant.harq_pid, cce_start + 1,
                                        0, 1))
                 continue
@@ -562,15 +623,18 @@ class EnbNode:
             stats["pdsch_tx"] += 1
             stats["dci_tx"] += 1
             if not it.is_rar:
-                self.ack_watch.append((tti + 4, it.grant.rnti,
+                self.ack_watch.append((tti + air.ack_k(tti), it.grant.rnti,
                                        it.grant.harq_pid, cce_start, 0, 0))
+        ku = air.ul_k(tti) if hasattr(air, "ul_k") else 4
         for it in ul_items:
             g = it.grant
-            cfg = _ul_cfg(air.cell, g.rnti, g.prb_start, g.prb_len, g.mcs,
-                          rv=g.rv, sf=(tti + 4) % 10)
             if it.is_msg3:
+                cfg = _ul_cfg(air.cell, g.rnti, g.prb_start, g.prb_len,
+                              g.mcs, rv=g.rv, sf=sf)
                 self.pusch_watch.append((tti, g, cfg))
                 continue
+            cfg = _ul_cfg(air.cell, g.rnti, g.prb_start, g.prb_len, g.mcs,
+                          rv=g.rv, sf=(tti + (ku or 4)) % 10)
             bits = dci_mod.pack_0(it.dci, nof_prb)
             alloc = air.cch.alloc(g.rnti, used_cces, sf=sf)
             if alloc is None:
@@ -578,7 +642,7 @@ class EnbNode:
             l_agg, cce_start = alloc
             tx_list.append((None, None, bits, g.rnti, l_agg, cce_start))
             stats["dci_tx"] += 1
-            self.pusch_watch.append((tti + 4, g, cfg))
+            self.pusch_watch.append((tti + (ku or 4), g, cfg))
 
         # DL over the air: the eNB transmits EVERY subframe (CRS +
         # PCFICH always; PSS/SSS at sf 0/5, PBCH at sf 0, PHICH for
@@ -647,7 +711,8 @@ class EnbNode:
             pdu = air.enb_pusch_rx(ul_grid, cfg)
             self.mac.crc_info(tti, g.rnti, g.harq_pid, pdu is not None)
             grp, seq = phich_alloc(air.cell.nof_prb, g.prb_start)
-            self.phich_pending.append((tti + 4, grp, seq,
+            kp = air.phich_k(tti) if hasattr(air, "phich_k") else 4
+            self.phich_pending.append((tti + kp, grp, seq,
                                        1 if pdu is not None else 0))
             if pdu is None:
                 stats["pusch_ko"] += 1
@@ -670,7 +735,8 @@ class EnbNode:
         # disables the blind scan there to avoid false SR detections.
         if not pucch_scan:
             return
-        cqi_due = (tti % 20) == 5
+        cqi_due = (air.cqi_due(tti) if hasattr(air, "cqi_due")
+                   else (tti % 20) == 5)
         for rnti, (n_sr, n_2) in self.pucch_res.items():
             if air.enb_sr_rx(ul_grid, n_sr, sf=sf):
                 self.mac.ul_bsr(rnti, 128)

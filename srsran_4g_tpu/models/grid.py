@@ -27,6 +27,7 @@ class CellConfig:
     nof_ports: int = 1
     cfi: int = 1
     normal_cp: bool = True
+    frame_type: str = "fdd"   # "tdd" moves the sync-signal reservations
 
     @property
     def nre(self) -> int:
@@ -110,10 +111,20 @@ def reserved_mask(cell: CellConfig, subframe: int) -> np.ndarray:
         syms, scs = crs_pattern(cell, p)
         for s, k in zip(syms, scs):
             mask[s, k] = True
+    nsy = cell.nsymb // 2
+    mid = cell.nre // 2
+    sync_k = np.arange(mid - 36, mid + 36)
+    if cell.frame_type == "tdd":
+        # frame structure type 2 (36.211 §6.11): SSS in the LAST symbol
+        # of sf 0/5, PSS in symbol 2 of the special subframes 1/6
+        if subframe in (0, 5):
+            mask[cell.nsymb - 1, sync_k] = True   # SSS
+            if subframe == 0:
+                mask[nsy:nsy + 4, sync_k] = True  # PBCH
+        if subframe in (1, 6):
+            mask[2, sync_k] = True                # PSS
+        return mask
     if subframe in (0, 5):
-        nsy = cell.nsymb // 2
-        mid = cell.nre // 2
-        sync_k = np.arange(mid - 36, mid + 36)
         mask[nsy - 2, sync_k] = True  # SSS
         mask[nsy - 1, sync_k] = True  # PSS
         if subframe == 0:

@@ -198,3 +198,30 @@ def detect_frame_type(samples: jnp.ndarray, pss_offset: jnp.ndarray,
         phase=choose(results[0][1], results[1][1]),
         metric=jnp.maximum(m_fdd, m_tdd),
     )
+
+
+def ack_delay(ul_dl_config: int, dl_subframe: int) -> int:
+    """HARQ-ACK delay k in subframes: a PDSCH in DL subframe n is
+    acknowledged in UL subframe n+k (the association-set inverse,
+    Table 10.1.3.1-1 / harq_ack.c)."""
+    for n_ul, ks in DL_ASSOC_SETS[ul_dl_config].items():
+        for k in ks:
+            if (n_ul - k) % 10 == dl_subframe:
+                return k
+    raise ValueError((ul_dl_config, dl_subframe))
+
+
+def ul_grant_delay(ul_dl_config: int, dl_subframe: int) -> int | None:
+    """PUSCH delay k for an UL grant sent in DL subframe n (Table 8-2);
+    None when n carries no UL grants in this configuration."""
+    return UL_GRANT_K[ul_dl_config].get(dl_subframe)
+
+
+def phich_delay(ul_dl_config: int, ul_subframe: int) -> int:
+    """PHICH delay for a PUSCH in UL subframe n: the next D/S subframe
+    at least 4 TTIs later.  For config 1 this reproduces Table 9.1.2-1
+    exactly (sf2→+4, sf3→+6, sf7→+4, sf8→+6)."""
+    for k in range(4, 14):
+        if sf_type(ul_dl_config, (ul_subframe + k) % 10) in ("D", "S"):
+            return k
+    raise ValueError((ul_dl_config, ul_subframe))

@@ -112,7 +112,9 @@ class LteAirPhy:
 
     def __init__(self, nof_prb: int, cell_id: int = 1, cfi: int | None = None,
                  snr_db: float = 20.0, seed: int = 7,
-                 fading=None, nof_ports: int = 1, nof_rx: int = 1) -> None:
+                 fading=None, nof_ports: int = 1, nof_rx: int = 1,
+                 frame_type: str = "fdd", ul_dl_config: int = 1,
+                 ssf_config: int = 4) -> None:
         """`fading`: optional channel.fading.FadingConfig — applied (with
         independent DL/UL realisations) between the nodes, as the
         reference's channel emulator hooks into its rx/tx paths
@@ -122,7 +124,15 @@ class LteAirPhy:
         assembles 2-port grids (SFBC control + CRS per port, TM3/TM4
         spatial-mux PDSCH), the DL channel is a fixed well-conditioned
         2×2 mix + AWGN, and the UE receives 2 antenna streams
-        (enb.conf.example:17-31 `tm=3/4 nof_ports=2`)."""
+        (enb.conf.example:17-31 `tm=3/4 nof_ports=2`).
+
+        `frame_type="tdd"` selects frame structure type 2 with
+        `ul_dl_config`/`ssf_config` (36.211 Table 4.2-2/-1): PSS moves
+        to symbol 2 of the special subframes, SSS to the last symbol of
+        sf 0/5, special subframes transmit only their DwPTS symbols, and
+        the UL/PHICH/ACK timing helpers of models/tdd.py replace the FDD
+        n+4 rule (phy_common.c:111 srsran_sfidx_tdd_type,
+        harq_ack.c association sets)."""
         import jax
 
         self.jax = jax
@@ -130,13 +140,19 @@ class LteAirPhy:
         self.seed = seed
         self.nof_ports = nof_ports
         self.nof_rx = nof_rx
+        assert frame_type in ("fdd", "tdd")
+        self.frame_type = frame_type
+        self.ul_dl_config = ul_dl_config
+        self.ssf_config = ssf_config
         assert (nof_ports, nof_rx) in ((1, 1), (2, 2))
         assert fading is None or nof_ports == 1, \
             "fading emulation is single-port only"
+        assert frame_type == "fdd" or nof_ports == 1, \
+            "the TDD air is single-port"
         if cfi is None:
             cfi = 3 if nof_prb <= 10 else 2
         self.cell = G.CellConfig(nof_prb=nof_prb, cell_id=cell_id, cfi=cfi,
-                                 nof_ports=nof_ports)
+                                 nof_ports=nof_ports, frame_type=frame_type)
         # fixed 2x2 DL mix (flat in frequency, constant over the run):
         # well-conditioned and with non-cancelling port sums so the
         # all-ports PSS/SSS transmission stays detectable on either antenna
@@ -155,6 +171,47 @@ class LteAirPhy:
             zero_corr_zone=5)
 
     # -- utilities -----------------------------------------------------------
+
+    def sf_kind(self, tti: int) -> str:
+        """'D'/'S'/'U' for TDD; always 'D' on the FDD air."""
+        if self.frame_type == "fdd":
+            return "D"
+        from srsran_4g_tpu.models import tdd
+
+        return tdd.sf_type(self.ul_dl_config, tti % 10)
+
+    def ack_k(self, tti: int) -> int:
+        """HARQ-ACK delay for a PDSCH at `tti` (FDD: 4; TDD: the
+        association-set k)."""
+        if self.frame_type == "fdd":
+            return 4
+        from srsran_4g_tpu.models import tdd
+
+        return tdd.ack_delay(self.ul_dl_config, tti % 10)
+
+    def ul_k(self, tti: int) -> int | None:
+        """PUSCH delay for an UL grant/RAR at `tti` (FDD: 4; TDD:
+        Table 8-2 — None when this subframe carries no UL grants)."""
+        if self.frame_type == "fdd":
+            return 4
+        from srsran_4g_tpu.models import tdd
+
+        return tdd.ul_grant_delay(self.ul_dl_config, tti % 10)
+
+    def phich_k(self, tti: int) -> int:
+        """PHICH delay for a PUSCH at `tti` (FDD: 4)."""
+        if self.frame_type == "fdd":
+            return 4
+        from srsran_4g_tpu.models import tdd
+
+        return tdd.phich_delay(self.ul_dl_config, tti % 10)
+
+    def cqi_due(self, tti: int) -> bool:
+        """Periodic CQI occasion: the report must land on an UL subframe
+        (FDD keeps the historical tti%%20==5; TDD config1 uses sf 2)."""
+        if self.frame_type == "fdd":
+            return tti % 20 == 5
+        return tti % 20 == 2
 
     def key(self):
         self._key, k = self.jax.random.split(self._key)
@@ -231,7 +288,8 @@ class LteAirPhy:
                      (1, self.nof_ports, self.cell.nsymb, self.cell.nre))
             grid = jnp.zeros(shape, jnp.complex64)
         grid = self._fn(("overhead", sf), build_overhead)(grid)
-        if sf in (0, 5):
+        sync_sfs = (0, 5) if self.frame_type == "fdd" else (0, 1, 5, 6)
+        if sf in sync_sfs:
             grid = self._fn(("sync", sf), self._build_sync(sf))(grid)
         if mib is not None and sf == 0:
             mib_bits, block = mib
@@ -253,6 +311,17 @@ class LteAirPhy:
                                       l_agg=l_agg, cce_start=cce_start))
             grid = put(grid, dci_bits=jnp.asarray(dci_bits[None]))
 
+        if self.frame_type == "tdd" and self.sf_kind(tti) == "S":
+            # special subframe: only the DwPTS symbols transmit
+            # (36.211 Table 4.2-1 via tdd.dl_symbol_mask)
+            from srsran_4g_tpu.models import tdd as tdd_mod
+
+            mask = tdd_mod.dl_symbol_mask(self.ul_dl_config,
+                                          self.ssf_config, sf)
+            dw = self._fn(("dwpts", sf), lambda: (
+                lambda g: g * jnp.asarray(
+                    mask.astype(np.float32))[:, None]))
+            grid = dw(grid)
         chan = self._fn(("chan_dl",), lambda: self._build_channel(0))
         return chan(grid, jnp.asarray(float(tti) * 1e-3), self.key())
 
@@ -297,13 +366,17 @@ class LteAirPhy:
         return f
 
     def _build_sync(self, sf: int):
-        """PSS/SSS into subframes 0/5 (enb_dl.put_sync_signals)."""
+        """PSS/SSS placement: FDD sf 0/5 (put_sync_signals); TDD SSS in
+        the last symbol of sf 0/5 + PSS in symbol 2 of the special
+        subframes 1/6 (put_sync_signals_tdd, 36.211 §6.11)."""
         from srsran_4g_tpu.models import enb_dl
 
-        cell = self.cell
+        cell, tdd_air = self.cell, self.frame_type == "tdd"
 
         def build():
             def f(g):
+                if tdd_air:
+                    return enb_dl.put_sync_signals_tdd(cell, g, sf)
                 return enb_dl.put_sync_signals(cell, g, sf)
             return f
         return build
@@ -345,6 +418,40 @@ class LteAirPhy:
         return dict(found=peak > 0.5,
                     cell_id=int(np.asarray(out["cell_id"])[0]),
                     phase=int(np.asarray(out["phase"])[0]), peak=peak)
+
+    def ue_cell_search_tdd(self, samples2) -> dict:
+        """TDD cell search over a TWO-subframe buffer [sf_n-1 | sf_n]:
+        the PSS sits in symbol 2 of the special subframe and the SSS in
+        the last symbol of the PRECEDING subframe (sync.c frame-type
+        detection; models/tdd.detect_frame_type).
+
+        Returns dict(found, cell_id, phase, peak) where phase 0 means
+        the buffer's first subframe is sf 0 (1 → sf 5)."""
+        from srsran_4g_tpu.models import sync as sync_mod
+        from srsran_4g_tpu.models import tdd as tdd_mod
+
+        cfg = self.ofdm
+
+        def build():
+            def f(s):
+                found = sync_mod.find_pss(s, cfg.symbol_sz)
+                res = tdd_mod.detect_frame_type(s, found["offset"],
+                                                found["n_id_2"], cfg)
+                return (found["offset"], found["n_id_2"], found["peak"],
+                        res.frame_type, res.n_id_1, res.phase, res.metric)
+            return f
+
+        off, n2, peak, ft, n1, phase, metric = self._fn(
+            ("cell_search_tdd",), build)(samples2)
+        exp_off = tdd_mod.pss_to_sf_start(cfg, "tdd")
+        off_v = int(np.asarray(off)[0])
+        ok = (float(np.asarray(peak)[0]) > 0.5
+              and int(np.asarray(ft)[0]) == 1
+              and abs(off_v - exp_off) < 4)
+        cell_id = 3 * int(np.asarray(n1)[0]) + int(np.asarray(n2)[0])
+        return dict(found=ok, cell_id=cell_id,
+                    phase=int(np.asarray(phase)[0]),
+                    peak=float(np.asarray(peak)[0]))
 
     def ue_mib_rx(self, samples, cell_id: int) -> dict | None:
         """PBCH decode from a subframe-0 sample buffer (ue_mib.c): the

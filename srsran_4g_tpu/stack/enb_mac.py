@@ -135,6 +135,10 @@ class EnbMac:
         # where tti mod (period * n) == i * period + 1
         self.si_messages: list[bytes] = []
         self.si_period_ttis = 20
+        self.si_offset = 1      # SI window subframe (TDD moves it to a D sf)
+        # UL-grant delay hook: tti -> k (None = this subframe carries no
+        # UL grants; TDD Table 8-2 via the air's ul_k)
+        self.ul_k = lambda tti: 4
 
     def set_si(self, messages: list[bytes], period_ttis: int = 20) -> None:
         self.si_messages = list(messages)
@@ -142,7 +146,7 @@ class EnbMac:
 
     def _si_item(self, tti: int) -> Optional[DlSchedItem]:
         n = len(self.si_messages)
-        if n == 0 or tti % self.si_period_ttis != 1:
+        if n == 0 or tti % self.si_period_ttis != self.si_offset:
             return None
         i = (tti // self.si_period_ttis) % n
         payload = self.si_messages[i]
@@ -230,11 +234,13 @@ class EnbMac:
         si = self._si_item(tti)
         if si is not None:
             return [si]
-        # 1) RAR subframes take precedence (common search space, RA-RNTI)
-        if self._pending_rar:
+        # 1) RAR subframes take precedence (common search space, RA-RNTI);
+        # the RAR can only go out where an UL grant delay exists (TDD:
+        # Table 8-2 subframes), otherwise it waits for the next one
+        if self._pending_rar and self.ul_k(tti) is not None:
             preamble, temp_crnti, ra_rnti = self._pending_rar.pop(0)
             ue = self.ues[temp_crnti]
-            ue.msg3_tti = tti + MSG3_DELAY
+            ue.msg3_tti = tti + self.ul_k(tti)
             ul_grant = pack_rar_ul_grant(
                 self.nof_prb, MSG3_PRB_START, MSG3_PRB, MSG3_MCS)
             rar = mac_pdu.pack_rar([mac_pdu.RarGrant(
@@ -299,7 +305,10 @@ class EnbMac:
         self._pending_msg3 = [m for m in self._pending_msg3 if m[0] > tti]
         for _, g in due:
             items.append(UlSchedItem(grant=g, dci=None, is_msg3=True))
-        for g in self.ul_sched.get_ul_sched(tti):
+        k = self.ul_k(tti)
+        if k is None:
+            return items
+        for g in self.ul_sched.get_ul_sched(tti, k=k):
             d = dci_mod.Dci0(rb_start=g.prb_start, l_crbs=g.prb_len,
                              mcs=g.mcs, ndi=g.ndi)
             items.append(UlSchedItem(grant=g, dci=d))

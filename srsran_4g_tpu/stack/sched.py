@@ -136,13 +136,14 @@ class UlScheduler:
             else:
                 ue.pending_retx.append(pid % N_HARQ)
 
-    def get_ul_sched(self, tti: int) -> list[UlGrant]:
-        """Grants signalled at `tti` for PUSCH at tti+4.  UL HARQ is
-        synchronous (36.213 §8): the process id is (tti+4) mod 8 on both
-        sides, so a retransmission can only be granted when its process
-        comes around again."""
+    def get_ul_sched(self, tti: int, k: int = 4) -> list[UlGrant]:
+        """Grants signalled at `tti` for PUSCH at tti+k (FDD k=4; TDD
+        passes the Table 8-2 delay).  UL HARQ is synchronous (36.213 §8):
+        the process id is (tti+k) mod 8 on both sides, so a
+        retransmission can only be granted when its process comes around
+        again."""
         grants: list[UlGrant] = []
-        pid = (tti + 4) % N_HARQ
+        pid = (tti + k) % N_HARQ
         # PUCCH guard PRBs at both band edges (sched_grid.cc)
         lo, hi = self.edge_guard, self.nof_prb - self.edge_guard
         for ue in self.ues.values():
@@ -166,9 +167,9 @@ class UlScheduler:
             mcs = min(_CQI_TO_MCS[ue.cqi], 24)
             want = ue.buffer_bytes * 8 + 32
             n = hi - lo
-            for k in range(1, hi - lo + 1):
-                if ra.tbs_from_itbs(ra.ul_mcs_to_itbs(mcs), k) >= want:
-                    n = k
+            for nn in range(1, hi - lo + 1):
+                if ra.tbs_from_itbs(ra.ul_mcs_to_itbs(mcs), nn) >= want:
+                    n = nn
                     break
             tbs = ra.tbs_from_itbs(ra.ul_mcs_to_itbs(mcs), n)
             h.active, h.tbs, h.mcs = True, tbs, mcs
@@ -190,6 +191,7 @@ class DlScheduler:
         self.policy = policy
         self.pf_fairness = pf_fairness
         self.nof_ports = 1   # 2 when any TM>1 UE is configured (CRS cost)
+        self.frame_type = "fdd"   # "tdd" changes the sync-RE reservations
         self.ues: dict[int, UeCtx] = {}
 
     # --- FAPI-like upper interface (mac.cc:639 etc.) ------------------------
@@ -257,7 +259,7 @@ class DlScheduler:
         cell = G.CellConfig(
             nof_prb=self.nof_prb, cell_id=1,
             cfi=3 if self.nof_prb <= 10 else 2,
-            nof_ports=self.nof_ports)
+            nof_ports=self.nof_ports, frame_type=self.frame_type)
         qm = {"qpsk": 2, "16qam": 4, "64qam": 6}[ra.dl_mcs_to_mod(mcs)]
         return len(G.pdsch_re_indices(cell, sf, prbs)) * qm
 

@@ -158,3 +158,23 @@ def test_si_on_dci_format_1c(prb):
     assert stats["si_1c_tx"] > 0, stats
     assert stats["pdsch_ko"] == 0, stats
     assert all(u.rrc.idle.si_acquired() for u in ues)
+
+
+def test_tdd_attach_and_ping():
+    """One E2E matrix point in TDD (frame structure type 2, UL/DL config
+    1, special-subframe config 4 — round-4 VERDICT item 7): TDD sync
+    (SSS in the last symbol of sf 0/5, PSS in symbol 2 of sf 1/6,
+    two-subframe acquisition via tdd.detect_frame_type), DwPTS-only
+    special subframes, SI moved to a DL subframe, UL grants per 36.213
+    Table 8-2, HARQ-ACK per the Table 10.1.3.1-1 association sets, and
+    TDD PHICH timing — attach + ping with 0 KO.  Match: phy_common.c:111
+    srsran_sfidx_tdd_type, harq_ack.c."""
+    import run_lte
+
+    ok, stats, ues, mme = run_lte.run(
+        n_ttis=300, n_pings=2, snr_db=30.0, nof_prb=6, n_ues=1, tdd=True)
+    assert ok, stats
+    assert stats["prach"] == 1, stats
+    assert stats["pdsch_ko"] == 0 and stats["pusch_ko"] == 0, stats
+    assert stats["dl_ping_rx"] == 2 and stats["ul_ping_rx"] >= 2, stats
+    assert ues[0].sync_state == "camped" and ues[0].acq_pci == 1

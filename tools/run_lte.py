@@ -37,7 +37,8 @@ from srsran_4g_tpu.apps.nodes import EnbNode, UeNode, UePhy  # noqa: E402
 def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
         n_ues: int = 1, n_cc: int = 1, burst_bytes: int = 0,
         fading_profile: str | None = None, doppler_hz: float = 5.0,
-        tm: int = 1, si_1c: bool = False, verbose: bool = False):
+        tm: int = 1, si_1c: bool = False, tdd: bool = False,
+        verbose: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -63,7 +64,8 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
     # spatial-mux PDSCH once the UE reports rank 2
     nof_ports = 2 if tm in (3, 4) else 1
     air = LteAirPhy(nof_prb=nof_prb, snr_db=snr_db, fading=fading,
-                    nof_ports=nof_ports, nof_rx=nof_ports)
+                    nof_ports=nof_ports, nof_rx=nof_ports,
+                    frame_type="tdd" if tdd else "fdd", ul_dl_config=1)
     # carrier aggregation: a second carrier with its own cell id/PHY
     air_s = (LteAirPhy(nof_prb=nof_prb, cell_id=2, snr_db=snr_db, seed=11)
              if n_cc == 2 else None)
@@ -121,11 +123,12 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
             for up in ue_phys:
                 up.rx_dl_scell(tti, scell_samples)
 
-        # 5. UL over the air
-        cqi_due = (tti % 20) == 5
-        grids = [ue.ul_grid(tti, cqi_due) for ue in ues]
-        if (any(g is not None for g in grids) or enb.pusch_watch
-                or enb.ack_watch):
+        # 5. UL over the air (TDD: only on UL subframes)
+        cqi_due = air.cqi_due(tti)
+        ul_sf = air.sf_kind(tti) == "U" or air.frame_type == "fdd"
+        grids = [ue.ul_grid(tti, cqi_due) for ue in ues] if ul_sf else []
+        if ul_sf and (any(g is not None for g in grids) or enb.pusch_watch
+                      or enb.ack_watch):
             ul_samples = air.combine_ul(grids, tti=tti)
             enb.rx_ul(tti, ul_samples)
 
@@ -141,8 +144,11 @@ def run(n_ttis: int, n_pings: int, snr_db: float, nof_prb: int = 6,
                 # the PCell's per-TTI capacity so the SCell carries part
                 sess = mme.spgw.sessions[ue.ucfg.imsi]
                 mme.spgw.rx_sgi(bytes(16) + sess.ue_ip + bytes(burst_bytes))
+            # TDD: the AttachComplete->ModifyBearer leg rides sparse UL
+            # subframes, so the S1-U tunnel finishes a little later
+            ping_gate = 2 if air.frame_type == "fdd" else 14
             if (ue.idx in attach_tti and pings_sent[ue.idx] < n_pings
-                    and tti > attach_tti[ue.idx] + 2
+                    and tti > attach_tti[ue.idx] + ping_gate
                     and (tti - attach_tti[ue.idx]) % 12 == 0):
                 sess = mme.spgw.sessions[ue.ucfg.imsi]
                 pkt = (bytes(16) + sess.ue_ip
@@ -198,6 +204,8 @@ def main() -> int:
     ap.add_argument("--tm", type=int, default=1, choices=(1, 3, 4))
     ap.add_argument("--si-1c", action="store_true",
                     help="broadcast SI on DCI format 1C")
+    ap.add_argument("--tdd", action="store_true",
+                    help="frame structure type 2, UL/DL config 1")
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args()
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -209,7 +217,8 @@ def main() -> int:
                               n_cc=args.cc, burst_bytes=args.burst,
                               fading_profile=args.fading,
                               doppler_hz=args.doppler, tm=args.tm,
-                              si_1c=args.si_1c, verbose=args.v)
+                              si_1c=args.si_1c, tdd=args.tdd,
+                              verbose=args.v)
     for ue in ues:
         print(f"ue{ue.idx}: attached={ue.nas.is_registered()} "
               f"crnti={ue.crnti:#x} cqi={ue.cqi_sent}")
