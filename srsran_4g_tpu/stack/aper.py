@@ -67,13 +67,14 @@ class AperWriter:
         return self.put(v, 8 * n_octets)
 
     def put_length(self, n: int) -> "AperWriter":
-        """General length determinant (X.691 §10.9, aligned)."""
+        """General length determinant (X.691 §10.9, aligned); values
+        >= 16K are signalled as fragments by the caller (put_open)."""
         self.align()
         if n < 128:
             return self.put(n, 8)
         if n < 16384:
             return self.put(0x8000 | n, 16)
-        raise NotImplementedError("fragmented lengths not needed")
+        raise NotImplementedError("use fragmented framing (put_open)")
 
     def put_enum(self, idx: int, n_root: int,
                  extensible: bool = True) -> "AperWriter":
@@ -82,8 +83,19 @@ class AperWriter:
         return self.put_constrained(idx, 0, n_root - 1)
 
     def put_open(self, content: bytes) -> "AperWriter":
-        self.put_length(max(len(content), 1))
-        return self.put_bytes(content if content else b"\0")
+        if not content:
+            content = b"\0"
+        # X.691 §11.9.3.8: lengths >= 16K go out in 16K-block fragments
+        # (marker 0b11 | m, m in 1..4), each followed by its octets
+        pos = 0
+        while len(content) - pos >= 16384:
+            m = min((len(content) - pos) // 16384, 4)
+            self.align()
+            self.put(0xC0 | m, 8)
+            self.put_bytes(content[pos:pos + m * 16384])
+            pos += m * 16384
+        self.put_length(len(content) - pos)
+        return self.put_bytes(content[pos:])
 
     def put_bitstring(self, value: int, nof_bits: int) -> "AperWriter":
         """Fixed-size BIT STRING: bit-field if ≤ 16 bits, else aligned
@@ -158,11 +170,14 @@ class AperReader:
         return lo + self.get(8 * n_octets)
 
     def get_length(self) -> int:
+        """One length determinant; a fragment marker returns the
+        negative block count (callers that accept fragments loop)."""
         self.align()
         b0 = self.get(8)
         if b0 < 128:
             return b0
-        assert b0 & 0x40 == 0, "fragmented lengths not needed"
+        if b0 & 0x40:
+            return -(b0 & 0x3F)      # §11.9: m blocks of 16384 follow
         return ((b0 & 0x3F) << 8) | self.get(8)
 
     def get_enum(self, n_root: int, extensible: bool = True) -> int:
@@ -171,8 +186,13 @@ class AperReader:
         return self.get_constrained(0, n_root - 1)
 
     def get_open(self) -> bytes:
-        n = self.get_length()
-        return self.get_bytes(n)
+        out = bytearray()
+        while True:
+            n = self.get_length()
+            if n >= 0:
+                out += self.get_bytes(n)
+                return bytes(out)
+            out += self.get_bytes(-n * 16384)
 
     def get_bitstring(self, nof_bits: int) -> int:
         if nof_bits > 16:

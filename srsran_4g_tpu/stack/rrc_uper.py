@@ -47,7 +47,13 @@ def decode(spec, r: BitReader):
         return lo + (r.get(_nbits(hi - lo + 1)) if hi > lo else 0)
     if kind in ("enum", "enum+"):
         if kind == "enum+" and r.get(1):
-            raise ValueError("extended enum value not supported")
+            # X.691 §14.6: an extension value is a normally-small whole
+            # number — decode it to an ("ext-enum", n) marker instead of
+            # raising (a receiver must skip unknown extension values,
+            # 36.331 §10.4), preserving byte-exact re-encoding
+            if r.get(1):
+                raise ValueError("large extended-enum value")
+            return ("ext-enum", r.get(6))
         return r.get(_nbits(spec[1]))
     if kind == "bool":
         return bool(r.get(1))
@@ -56,14 +62,19 @@ def decode(spec, r: BitReader):
     if kind == "octets":
         return bytes(r.get(8) for _ in range(spec[1]))
     if kind == "octets*":
-        # unconstrained OCTET STRING: X.691 §11.9 general length
-        n = r.get(8)
-        if n & 0x80:
+        # unconstrained OCTET STRING: X.691 §11.9 general length,
+        # including the >=16K fragmented form (marker 0b11 | m)
+        out = bytearray()
+        while True:
+            n = r.get(8)
+            if n & 0x80 == 0:
+                out += bytes(r.get(8) for _ in range(n))
+                return bytes(out)
             if n >> 6 == 0b10:
                 n = ((n & 0x3F) << 8) | r.get(8)
-            else:
-                raise ValueError("fragmented octet string")
-        return bytes(r.get(8) for _ in range(n))
+                out += bytes(r.get(8) for _ in range(n))
+                return bytes(out)
+            out += bytes(r.get(8) for _ in range(16384 * (n & 0x3F)))
     if kind == "null":
         return None
     if kind == "seq":
@@ -132,6 +143,11 @@ def encode(spec, v, w: BitWriter) -> None:
         return
     if kind in ("enum", "enum+"):
         if kind == "enum+":
+            if isinstance(v, tuple) and v[0] == "ext-enum":
+                w.put(1, 1)
+                w.put(0, 1)
+                w.put(v[1], 6)
+                return
             w.put(0, 1)
         w.put(v, _nbits(spec[1]))
         return
@@ -146,12 +162,21 @@ def encode(spec, v, w: BitWriter) -> None:
             w.put(b, 8)
         return
     if kind == "octets*":
-        if len(v) < 128:
-            w.put(len(v), 8)
+        pos = 0
+        while len(v) - pos >= 16384:
+            m = min((len(v) - pos) // 16384, 4)
+            w.put(0b11, 2)
+            w.put(m, 6)
+            for b in v[pos:pos + m * 16384]:
+                w.put(b, 8)
+            pos += m * 16384
+        rest = len(v) - pos
+        if rest < 128:
+            w.put(rest, 8)
         else:
             w.put(0b10, 2)
-            w.put(len(v), 14)
-        for b in v:
+            w.put(rest, 14)
+        for b in v[pos:]:
             w.put(b, 8)
         return
     if kind == "null":
@@ -513,7 +538,7 @@ UPLINK_POWER_CONTROL_DEDICATED = ("seq", False, [
     ("accumulation_enabled", ("bool",), "m"),
     ("p0_ue_pucch", ("int", -8, 7), "m"),
     ("p_srs_offset", ("int", 0, 15), "m"),
-    ("filter_coefficient", ("enum", 16), "o"),  # DEFAULT fc4
+    ("filter_coefficient", ("enum+", 16), "o"),  # DEFAULT fc4
 ])
 
 TPC_PDCCH_CONFIG = ("choice", False, [
@@ -611,7 +636,7 @@ PDCP_CONFIG = ("seq", True, [
     ("rlc_um", ("seq", False, [
         ("pdcp_sn_size", ("enum", 2), "m"),
     ]), "o"),
-    ("header_compression", ("choice", True, [
+    ("header_compression", ("choice", False, [
         ("not_used", ("null",)),
         ("rohc", ("seq", True, [
             ("max_cid", ("int", 1, 16383), "o"),   # DEFAULT 15
@@ -633,6 +658,32 @@ DRB_TO_ADD_MOD = ("seq", True, [
     ("logical_channel_config", LOGICAL_CHANNEL_CONFIG, "o"),
 ])
 
+SPS_CONFIG_DL = ("choice", False, [
+    ("release", ("null",)),
+    ("setup", ("seq", True, [
+        ("semi_persist_sched_interval_dl", ("enum", 16), "m"),
+        ("number_of_conf_sps_processes", ("int", 1, 8), "m"),
+        ("n1_pucch_an_persistent_list",
+         ("seqof", 1, 4, ("int", 0, 2047)), "m"),
+    ]))])
+
+SPS_CONFIG_UL = ("choice", False, [
+    ("release", ("null",)),
+    ("setup", ("seq", True, [
+        ("semi_persist_sched_interval_ul", ("enum", 16), "m"),
+        ("implicit_release_after", ("enum", 4), "m"),
+        ("p0_persistent", ("seq", False, [
+            ("p0_nominal_pusch_persistent", ("int", -126, 24), "m"),
+            ("p0_ue_pusch_persistent", ("int", -8, 7), "m")]), "o"),
+        ("two_intervals_config", ("enum", 1), "o"),
+    ]))])
+
+SPS_CONFIG = ("seq", False, [
+    ("semi_persist_sched_c_rnti", ("bits", 16), "o"),
+    ("sps_config_dl", SPS_CONFIG_DL, "o"),
+    ("sps_config_ul", SPS_CONFIG_UL, "o"),
+])
+
 RADIO_RESOURCE_CONFIG_DEDICATED = ("seq", True, [
     ("srb_to_add_mod_list", ("seqof", 1, 2, SRB_TO_ADD_MOD), "o"),
     ("drb_to_add_mod_list", ("seqof", 1, 11, DRB_TO_ADD_MOD), "o"),
@@ -641,7 +692,7 @@ RADIO_RESOURCE_CONFIG_DEDICATED = ("seq", True, [
         ("explicit_value", MAC_MAIN_CONFIG),
         ("default_value", ("null",)),
     ]), "o"),
-    ("sps_config", ("null",), "o"),
+    ("sps_config", SPS_CONFIG, "o"),
     ("physical_config_dedicated", PHYSICAL_CONFIG_DEDICATED, "o"),
 ])
 
@@ -788,8 +839,8 @@ MEAS_CONFIG = ("seq", True, [
     ])), "o"),
     ("quantity_config", ("seq", True, [
         ("quantity_config_eutra", ("seq", False, [
-            ("filter_coefficient_rsrp", ("enum", 16), "o"),
-            ("filter_coefficient_rsrq", ("enum", 16), "o"),
+            ("filter_coefficient_rsrp", ("enum+", 16), "o"),
+            ("filter_coefficient_rsrq", ("enum+", 16), "o"),
         ]), "o"),
         ("quantity_config_utra", ("null",), "o"),
         ("quantity_config_geran", ("null",), "o"),
