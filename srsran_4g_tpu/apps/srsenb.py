@@ -98,20 +98,31 @@ def main(argv: list[str] | None = None) -> int:
     enb = EnbNode(air, stats, log, tx_s1ap=tx_s1ap, s1u_tx=s1u_tx)
     enb.rrc.s1_setup()
 
-    # ---- IQ bridges: serve DL first, then connect to the UE's UL --------
-    dl_tx = IqBridgeTx(args.dl_port)
-    print(f"srsenb: waiting for UE on IQ port {args.dl_port}", flush=True)
-    dl_tx.accept()
-    ul_rx = None
-    for _ in range(300):              # the UE binds its UL port right after
-        try:
-            ul_rx = IqBridgeRx(args.ue_addr, args.ul_port, timeout_ms=60000)
-            break
-        except OSError:
-            time.sleep(0.1)
-    if ul_rx is None:
-        print("srsenb: UL bridge connect failed", flush=True)
-        return 1
+    # ---- IQ bridges: serve DL first, then connect to the UEs' UL --------
+    # UE i uses ports (dl_port + 2i, ul_port + 2i); the eNB broadcasts
+    # the same DL subframe to every UE and SUMS the UL streams — the
+    # multi-UE analog of rf_zmq's per-channel sample exchange
+    dl_txs = []
+    for i in range(args.ues):
+        dl_txs.append(IqBridgeTx(args.dl_port + 2 * i))
+    print(f"srsenb: waiting for {args.ues} UE(s) on IQ port(s) "
+          f"{args.dl_port}..", flush=True)
+    for t in dl_txs:
+        t.accept()
+    ul_rxs = []
+    for i in range(args.ues):
+        ul_rx = None
+        for _ in range(300):          # the UE binds its UL port right after
+            try:
+                ul_rx = IqBridgeRx(args.ue_addr, args.ul_port + 2 * i,
+                                   timeout_ms=60000)
+                break
+            except OSError:
+                time.sleep(0.1)
+        if ul_rx is None:
+            print("srsenb: UL bridge connect failed", flush=True)
+            return 1
+        ul_rxs.append(ul_rx)
     print("srsenb: IQ bridges up", flush=True)
 
     sf_len = air.ofdm.sf_len
@@ -138,8 +149,10 @@ def main(argv: list[str] | None = None) -> int:
                 enb.rx_s1u(hdr.teid, payload)
 
         dl_samples, _ = enb.step_dl(tti)
-        dl_tx.send(np.asarray(dl_samples)[0])
-        ul = ul_rx.read(sf_len)[None, :]
+        dl_np = np.asarray(dl_samples)[0]
+        for t in dl_txs:
+            t.send(dl_np)
+        ul = sum(rx.read(sf_len) for rx in ul_rxs)[None, :]
         # RA occasions: preambles ride the UL sample stream.  UEs stagger
         # their occasions at (2*idx+2)%10 (nodes.py prach_due), so scan
         # every configured occasion until all UEs have PUCCH resources —
@@ -158,8 +171,10 @@ def main(argv: list[str] | None = None) -> int:
             # PUSCH/ACK from already-attached UEs must still be decoded.
             enb.rx_ul(tti, jnp.asarray(ul), pucch_scan=not got_prach)
 
-    dl_tx.close()
-    ul_rx.close()
+    for t in dl_txs:
+        t.close()
+    for rx in ul_rxs:
+        rx.close()
     s1.close()
     gtpu.close()
     stats["dl_retx"] = enb.mac.metrics["dl_retx"]

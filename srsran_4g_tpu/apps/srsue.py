@@ -29,6 +29,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--ul-port", type=int, default=45202,
                     help="IQ bridge port this UE serves UL samples on")
     ap.add_argument("--prb", type=int, default=None)
+    ap.add_argument("--ue-idx", type=int, default=0,
+                    help="UE index: offsets the IMSI, PUCCH resources "
+                         "and RA occasion (multi-UE deployments)")
     ap.add_argument("--snr", type=float, default=30.0)
     ap.add_argument("--ttis", type=int, default=480)
     ap.add_argument("-v", action="store_true")
@@ -57,8 +60,9 @@ def main(argv: list[str] | None = None) -> int:
              "dci_tx": 0, "phich_ack": 0, "phich_nack": 0}
     # UL noise is applied UE-side (the reference's channel emulator hooks
     # into the tx path, sync.cc:88-90); seed decorrelated from the eNB's DL
-    air = LteAirPhy(nof_prb=nof_prb, snr_db=args.snr, seed=13)
-    ue = UeNode(0, air, stats, log)
+    air = LteAirPhy(nof_prb=nof_prb, snr_db=args.snr,
+                    seed=13 + args.ue_idx)
+    ue = UeNode(args.ue_idx, air, stats, log)
     uephy = UePhy(ue, air)
 
     # connect to the eNB's DL stream first, then serve our UL stream

@@ -4,18 +4,24 @@ The framework's counterpart of the reference's `test/run_lte.sh:82-160`
 (3 processes over ZMQ RF + netns): real `srsue`/`srsenb`/`srsepc`
 processes wired by
   * the native TCP IQ sample bridge (UE↔eNB air interface, incl. PRACH
-    preambles in the UL stream; `rf_zmq_imp.c` model),
-  * S1AP over TCP with 3GPP-exact aligned-PER PDUs (eNB↔EPC),
+    preambles in the UL stream; `rf_zmq_imp.c` model) — UE i rides
+    ports (dl+2i, ul+2i), the eNB broadcasts DL and sums the UL streams,
+  * S1AP over TCP with 3GPP-exact aligned-PER PDUs (eNB↔EPC; TCP stands
+    in for SCTP on this image — see ARCHITECTURE §inventory),
   * GTP-U over UDP (S1-U user plane).
 
-Pass criteria mirror run_lte.sh: attach OK, exactly 1 PRACH detected,
-zero unrecovered PDSCH/PUSCH KO, 0% DL/UL ping loss.
+Pass criteria mirror run_lte.sh: every UE attaches, exactly one PRACH
+per UE, zero unrecovered PDSCH/PUSCH KO, 0% DL/UL ping loss.  The
+matrix widens the round-4 single point (6 PRB × 1 UE) with a 2-UE and a
+25 PRB point (reference matrix `test/CMakeLists.txt:27-33`).
 """
 
 import json
 import os
 import subprocess
 import sys
+
+import pytest
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 PINGS = 2
@@ -37,40 +43,50 @@ def _result(proc: subprocess.Popen, timeout: float) -> dict:
     raise AssertionError(f"no RESULT line (rc={proc.returncode}):\n{out}")
 
 
-def test_three_process_attach_and_ping():
-    s1ap_port, gtpu_port = 46412, 46152
-    dl_port, ul_port = 46201, 46202
-    ttis = 480
+@pytest.mark.parametrize("n_ues,prb,ttis,base", [
+    (1, 6, 480, 46200),     # the round-4 point
+    (2, 6, 600, 46300),     # >=2 UEs through the real processes
+    (1, 25, 360, 46400),    # >=25 PRB through the real transports
+])
+def test_three_process_attach_and_ping(n_ues, prb, ttis, base):
+    s1ap_port, gtpu_port = base + 12, base + 52
+    dl_port, ul_port = base + 1, base + 2
 
     epc = _spawn("srsran_4g_tpu.apps.srsepc",
                  "--s1ap-port", str(s1ap_port), "--gtpu-port", str(gtpu_port),
-                 "--ues", "1", "--pings", str(PINGS), "--timeout", "1500")
+                 "--ues", str(n_ues), "--pings", str(PINGS),
+                 "--timeout", "1500")
     import time
     time.sleep(1.0)                       # EPC binds its listeners
     enb = _spawn("srsran_4g_tpu.apps.srsenb",
                  "--dl-port", str(dl_port), "--ul-port", str(ul_port),
                  "--s1ap-port", str(s1ap_port), "--gtpu-port", str(gtpu_port),
-                 "--prb", "6", "--ttis", str(ttis))
-    ue = _spawn("srsran_4g_tpu.apps.srsue",
-                "--dl-port", str(dl_port), "--ul-port", str(ul_port),
-                "--prb", "6", "--ttis", str(ttis))
+                 "--prb", str(prb), "--ttis", str(ttis),
+                 "--ues", str(n_ues))
+    ues = [_spawn("srsran_4g_tpu.apps.srsue",
+                  "--dl-port", str(dl_port + 2 * i),
+                  "--ul-port", str(ul_port + 2 * i),
+                  "--prb", str(prb), "--ttis", str(ttis),
+                  "--ue-idx", str(i))
+           for i in range(n_ues)]
     try:
-        ue_stats = _result(ue, timeout=1500)
-        enb_stats = _result(enb, timeout=120)
+        ue_stats = [_result(u, timeout=1500) for u in ues]
+        enb_stats = _result(enb, timeout=300)
         epc_stats = _result(epc, timeout=120)
     finally:
-        for p in (ue, enb, epc):
+        for p in (*ues, enb, epc):
             if p.poll() is None:
                 p.kill()
 
     # run_lte.sh criteria
-    assert ue_stats["registered"], ue_stats
-    assert ue_stats["sync_state"] == "camped", ue_stats
-    assert enb_stats["prach"] == 1, enb_stats
-    assert ue_stats["pdsch_ko"] == 0, ue_stats
+    for st in ue_stats:
+        assert st["registered"], st
+        assert st["sync_state"] == "camped", st
+        assert st["pdsch_ko"] == 0, st
+        assert st["dl_ping_rx"] == PINGS, st           # 0% DL loss
+        # CQI at target once reported (criterion: all cqi=15 at 30 dB)
+        assert all(c >= 13 for c in st["cqi"][1:]), st
+    assert enb_stats["prach"] == n_ues, enb_stats
     assert enb_stats["pusch_ko"] == 0, enb_stats
-    assert ue_stats["dl_ping_rx"] == PINGS, ue_stats     # 0% DL loss
-    assert epc_stats["ul_ping_rx"] >= PINGS, epc_stats   # 0% UL loss
-    assert epc_stats["attach"] == 1, epc_stats
-    # CQI at target once reported (criterion: all cqi=15 at 30 dB)
-    assert all(c >= 13 for c in ue_stats["cqi"][1:]), ue_stats
+    assert epc_stats["ul_ping_rx"] >= PINGS * n_ues, epc_stats  # 0% UL loss
+    assert epc_stats["attach"] == n_ues, epc_stats
