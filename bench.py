@@ -65,10 +65,17 @@ def main() -> None:
     # batch sweep on v5e (round 5, after the soft-demod rewrite):
     # 96→19391, 128→23025 (plateau), 160→15475 sf/s; above ~160 the axon
     # backend miscompiles the fused graph (see ARCHITECTURE.md +
-    # tools/axon_repro.py batch_cliff)
+    # tools/axon_repro.py batch_cliff).  Round-5 chunked dispatch: ONE
+    # program lax.maps the fused receiver over `chunks` chunks of
+    # `batch` subframes — each chunk stays below the cliff (CRCs
+    # verified every run) while the ~0.6 ms per-program launch cost
+    # (tools/prof_split.py: a trivial kernel costs 0.594 ms/step even
+    # pipelined) amortises: 1×128→23.1k, 2×128→+7%, 4×128→+20%,
+    # 8×128→+24% measured (tools/prof_split.py chunked).
     batch = int(os.environ.get("BENCH_BATCH", "128"))
+    chunks = int(os.environ.get("BENCH_CHUNKS", "8"))
     n_iter = int(os.environ.get("BENCH_TURBO_ITERS", "4"))
-    iters = int(os.environ.get("BENCH_REPS", "32"))
+    iters = int(os.environ.get("BENCH_REPS", "8"))
 
     print(
         f"bench: 100 PRB 64QAM tbs={cfg.tbs} G={cfg.g_bits} "
@@ -77,7 +84,6 @@ def main() -> None:
     )
 
     rng = np.random.default_rng(0)
-    bits = jnp.asarray(rng.integers(0, 2, size=(batch, cfg.tbs)).astype(np.int8))
 
     @jax.jit
     def make_rx(bits, key):
@@ -85,18 +91,31 @@ def main() -> None:
         nv = snr_to_noise_var(30.0)
         return awgn(key, tx, nv)
 
-    rx = jax.block_until_ready(make_rx(bits, jax.random.PRNGKey(1)))
+    # independent payloads + noise per chunk (chunk axis leading)
+    rx = jnp.stack([
+        make_rx(
+            jnp.asarray(rng.integers(0, 2, size=(batch, cfg.tbs))
+                        .astype(np.int8)),
+            jax.random.PRNGKey(1 + c),
+        )
+        for c in range(chunks)
+    ])
+    rx = jax.block_until_ready(rx)
 
     @jax.jit
-    def rx_step(rx_grid):
-        out = pdsch.decode(cfg, rx_grid, n_iter=n_iter)
+    def rx_step(rx_chunks):
+        def one(rx_grid):
+            out = pdsch.decode(cfg, rx_grid, n_iter=n_iter)
+            return (jnp.sum(out["crc_ok"].astype(jnp.float32)),
+                    out["bits"][0, 0])
+        oks, b0 = jax.lax.map(one, rx_chunks)
         # scalar summary forces a real device->host sync per call (the
         # remote-TPU tunnel's block_until_ready alone is not reliable)
-        return jnp.sum(out["crc_ok"].astype(jnp.float32)), out["bits"]
+        return jnp.sum(oks), b0
 
     # warmup / compile
     n_ok, _ = rx_step(rx)
-    ok_frac = float(n_ok) / batch
+    ok_frac = float(n_ok) / (batch * chunks)
     print(f"bench: warmup crc_ok fraction = {ok_frac}", file=sys.stderr)
 
     # Pipelined dispatch: enqueue all steps, fence once on the last
@@ -109,7 +128,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
     assert v == float(n_ok), "late-step decode diverged"
 
-    sf_per_s = batch * iters / dt
+    sf_per_s = batch * chunks * iters / dt
     result = {
         "metric": "pdsch_rx_subframes_per_sec_20mhz_64qam",
         "value": round(sf_per_s, 2),
