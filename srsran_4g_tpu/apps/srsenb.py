@@ -45,6 +45,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--ttis", type=int, default=480)
     ap.add_argument("--ues", type=int, default=1,
                     help="expected UE count (bounds PRACH scanning)")
+    ap.add_argument("--tm", type=int, default=1, choices=(1, 3, 4),
+                    help="transmission mode (3/4 = 2x2 spatial "
+                         "multiplexing, enb.conf.example tm=/nof_ports=)")
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args(argv)
 
@@ -70,8 +73,12 @@ def main(argv: list[str] | None = None) -> int:
     stats = {"prach": 0, "pdsch_ko": 0, "pusch_ko": 0, "pdsch_tx": 0,
              "pusch_tx": 0, "dci_tx": 0, "dl_ping_rx": 0, "ul_ping_rx": 0,
              "phich_ack": 0, "phich_nack": 0}
+    # tm=3/4 selects the 2-port cell (2x2 MIMO air); the bridge then
+    # carries both post-channel RX-antenna streams per TTI
+    nof_ports = 2 if args.tm in (3, 4) else 1
     air = LteAirPhy(nof_prb=nof_prb, cell_id=cfg.cell.cell_id,
-                    snr_db=args.snr)
+                    snr_db=args.snr, nof_ports=nof_ports,
+                    nof_rx=nof_ports)
 
     # ---- S1AP over TCP (framed aligned-PER PDUs) -------------------------
     s1 = socket.create_connection((args.epc_addr, args.s1ap_port),
@@ -95,7 +102,8 @@ def main(argv: list[str] | None = None) -> int:
     def s1u_tx(teid: int, pkt: bytes) -> None:
         gtpu.sendto(GU.pack(GU.GtpuHeader(teid=teid), pkt), epc_gtpu)
 
-    enb = EnbNode(air, stats, log, tx_s1ap=tx_s1ap, s1u_tx=s1u_tx)
+    enb = EnbNode(air, stats, log, tx_s1ap=tx_s1ap, s1u_tx=s1u_tx,
+                  tm=args.tm)
     enb.rrc.s1_setup()
 
     # ---- IQ bridges: serve DL first, then connect to the UEs' UL --------
@@ -149,7 +157,9 @@ def main(argv: list[str] | None = None) -> int:
                 enb.rx_s1u(hdr.teid, payload)
 
         dl_samples, _ = enb.step_dl(tti)
-        dl_np = np.asarray(dl_samples)[0]
+        # SISO: (1, sf_len) -> sf_len samples; 2x2: (1, 2rx, sf_len) ->
+        # both RX-antenna streams concatenated (the UE reads 2*sf_len)
+        dl_np = np.asarray(dl_samples)[0].reshape(-1)
         for t in dl_txs:
             t.send(dl_np)
         ul = sum(rx.read(sf_len) for rx in ul_rxs)[None, :]

@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
                          "and RA occasion (multi-UE deployments)")
     ap.add_argument("--snr", type=float, default=30.0)
     ap.add_argument("--ttis", type=int, default=480)
+    ap.add_argument("--tm", type=int, default=1, choices=(1, 3, 4),
+                    help="transmission mode (3/4 = 2x2 cell: the DL "
+                         "bridge carries 2 RX-antenna streams per TTI)")
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args(argv)
 
@@ -60,9 +63,11 @@ def main(argv: list[str] | None = None) -> int:
              "dci_tx": 0, "phich_ack": 0, "phich_nack": 0}
     # UL noise is applied UE-side (the reference's channel emulator hooks
     # into the tx path, sync.cc:88-90); seed decorrelated from the eNB's DL
+    nof_ports = 2 if args.tm in (3, 4) else 1
     air = LteAirPhy(nof_prb=nof_prb, snr_db=args.snr,
-                    seed=13 + args.ue_idx)
-    ue = UeNode(args.ue_idx, air, stats, log)
+                    seed=13 + args.ue_idx, nof_ports=nof_ports,
+                    nof_rx=nof_ports)
+    ue = UeNode(args.ue_idx, air, stats, log, tm=args.tm)
     uephy = UePhy(ue, air)
 
     # connect to the eNB's DL stream first, then serve our UL stream
@@ -85,7 +90,11 @@ def main(argv: list[str] | None = None) -> int:
     attach_announced = False
     for tti in range(args.ttis):
         ue.tick()
-        dl = jnp.asarray(dl_rx.read(sf_len)[None, :])
+        if nof_ports == 2:
+            dl = jnp.asarray(dl_rx.read(2 * sf_len)
+                             .reshape(2, sf_len)[None])
+        else:
+            dl = jnp.asarray(dl_rx.read(sf_len)[None, :])
         uephy.rx_dl(tti, dl)
         idx = uephy.prach_due(tti)
         if idx is not None:

@@ -43,12 +43,13 @@ def _result(proc: subprocess.Popen, timeout: float) -> dict:
     raise AssertionError(f"no RESULT line (rc={proc.returncode}):\n{out}")
 
 
-@pytest.mark.parametrize("n_ues,prb,ttis,base", [
-    (1, 6, 480, 46200),     # the round-4 point
-    (2, 6, 600, 46300),     # >=2 UEs through the real processes
-    (1, 25, 360, 46400),    # >=25 PRB through the real transports
+@pytest.mark.parametrize("n_ues,prb,ttis,base,tm", [
+    (1, 6, 480, 46200, 1),     # the round-4 point
+    (2, 6, 600, 46300, 1),     # >=2 UEs through the real processes
+    (1, 25, 360, 46400, 1),    # >=25 PRB through the real transports
+    (1, 6, 480, 46500, 4),     # flagship TM4 2x2 through the real bridge
 ])
-def test_three_process_attach_and_ping(n_ues, prb, ttis, base):
+def test_three_process_attach_and_ping(n_ues, prb, ttis, base, tm):
     s1ap_port, gtpu_port = base + 12, base + 52
     dl_port, ul_port = base + 1, base + 2
 
@@ -62,12 +63,12 @@ def test_three_process_attach_and_ping(n_ues, prb, ttis, base):
                  "--dl-port", str(dl_port), "--ul-port", str(ul_port),
                  "--s1ap-port", str(s1ap_port), "--gtpu-port", str(gtpu_port),
                  "--prb", str(prb), "--ttis", str(ttis),
-                 "--ues", str(n_ues))
+                 "--ues", str(n_ues), "--tm", str(tm))
     ues = [_spawn("srsran_4g_tpu.apps.srsue",
                   "--dl-port", str(dl_port + 2 * i),
                   "--ul-port", str(ul_port + 2 * i),
                   "--prb", str(prb), "--ttis", str(ttis),
-                  "--ue-idx", str(i))
+                  "--ue-idx", str(i), "--tm", str(tm))
            for i in range(n_ues)]
     try:
         ue_stats = [_result(u, timeout=1500) for u in ues]
@@ -88,5 +89,10 @@ def test_three_process_attach_and_ping(n_ues, prb, ttis, base):
         assert all(c >= 13 for c in st["cqi"][1:]), st
     assert enb_stats["prach"] == n_ues, enb_stats
     assert enb_stats["pusch_ko"] == 0, enb_stats
+    if tm == 4:
+        # flagship-mode criterion (run_lte.py): rank-2 spatial
+        # multiplexing actually crossed the process boundary
+        assert enb_stats.get("pdsch_tx_rank2", 0) > 0, enb_stats
+        assert any(st.get("pdsch_rank2", 0) > 0 for st in ue_stats), ue_stats
     assert epc_stats["ul_ping_rx"] >= PINGS * n_ues, epc_stats  # 0% UL loss
     assert epc_stats["attach"] == n_ues, epc_stats
