@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tm", type=int, default=1, choices=(1, 3, 4),
                     help="transmission mode (3/4 = 2x2 spatial "
                          "multiplexing, enb.conf.example tm=/nof_ports=)")
+    ap.add_argument("--tdd", action="store_true",
+                    help="frame structure type 2 (UL/DL config 1); UL "
+                         "subframes carry zeros on the DL bridge")
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args(argv)
 
@@ -78,7 +81,8 @@ def main(argv: list[str] | None = None) -> int:
     nof_ports = 2 if args.tm in (3, 4) else 1
     air = LteAirPhy(nof_prb=nof_prb, cell_id=cfg.cell.cell_id,
                     snr_db=args.snr, nof_ports=nof_ports,
-                    nof_rx=nof_ports)
+                    nof_rx=nof_ports,
+                    frame_type="tdd" if args.tdd else "fdd")
 
     # ---- S1AP over TCP (framed aligned-PER PDUs) -------------------------
     s1 = socket.create_connection((args.epc_addr, args.s1ap_port),
@@ -158,24 +162,37 @@ def main(argv: list[str] | None = None) -> int:
 
         dl_samples, _ = enb.step_dl(tti)
         # SISO: (1, sf_len) -> sf_len samples; 2x2: (1, 2rx, sf_len) ->
-        # both RX-antenna streams concatenated (the UE reads 2*sf_len)
-        dl_np = np.asarray(dl_samples)[0].reshape(-1)
+        # both RX-antenna streams concatenated (the UE reads 2*sf_len).
+        # TDD UL subframes (step_dl -> None) stream zeros to keep the
+        # sample clock running (rf_zmq's continuous-stream model).
+        dl_np = (np.zeros(nof_ports * sf_len, np.complex64)
+                 if dl_samples is None
+                 else np.asarray(dl_samples)[0].reshape(-1))
         for t in dl_txs:
             t.send(dl_np)
         ul = sum(rx.read(sf_len) for rx in ul_rxs)[None, :]
+        ul_sf = air.sf_kind(tti) == "U" or air.frame_type == "fdd"
         # RA occasions: preambles ride the UL sample stream.  UEs stagger
-        # their occasions at (2*idx+2)%10 (nodes.py prach_due), so scan
-        # every configured occasion until all UEs have PUCCH resources —
+        # their occasions — FDD at (2*idx+2)%10, TDD across the UL
+        # subframes of the configuration (nodes.py prach_due) — so scan
+        # every configured occasion until all UEs have PUCCH resources,
         # and still decode scheduled UL on a PRACH-detected TTI so other
         # UEs' PUSCH/ACK due that subframe is not dropped.
-        ra_occasions = {(2 * i + 2) % 10 for i in range(args.ues)}
+        if air.frame_type == "tdd":
+            from srsran_4g_tpu.models import tdd as tdd_mod
+            uls = [s for s in range(10)
+                   if tdd_mod.sf_type(air.ul_dl_config, s) == "U"]
+            ra_occasions = {uls[i % len(uls)] for i in range(args.ues)}
+        else:
+            ra_occasions = {(2 * i + 2) % 10 for i in range(args.ues)}
         got_prach = False
-        if tti % 10 in ra_occasions and len(enb.pucch_res) < args.ues:
+        if (ul_sf and tti % 10 in ra_occasions
+                and len(enb.pucch_res) < args.ues):
             det = air.prach_rx(ul)
             if det is not None:
                 enb.rach_detected(tti, det)
                 got_prach = True
-        if enb.need_ul():
+        if ul_sf and enb.need_ul():
             # pucch_scan=False on the detection TTI: the preamble sits on
             # the PUCCH PRBs and would read as a false SR, but scheduled
             # PUSCH/ACK from already-attached UEs must still be decoded.

@@ -37,6 +37,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tm", type=int, default=1, choices=(1, 3, 4),
                     help="transmission mode (3/4 = 2x2 cell: the DL "
                          "bridge carries 2 RX-antenna streams per TTI)")
+    ap.add_argument("--tdd", action="store_true",
+                    help="frame structure type 2 (UL/DL config 1)")
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args(argv)
 
@@ -66,7 +68,8 @@ def main(argv: list[str] | None = None) -> int:
     nof_ports = 2 if args.tm in (3, 4) else 1
     air = LteAirPhy(nof_prb=nof_prb, snr_db=args.snr,
                     seed=13 + args.ue_idx, nof_ports=nof_ports,
-                    nof_rx=nof_ports)
+                    nof_rx=nof_ports,
+                    frame_type="tdd" if args.tdd else "fdd")
     ue = UeNode(args.ue_idx, air, stats, log, tm=args.tm)
     uephy = UePhy(ue, air)
 
@@ -95,13 +98,21 @@ def main(argv: list[str] | None = None) -> int:
                              .reshape(2, sf_len)[None])
         else:
             dl = jnp.asarray(dl_rx.read(sf_len)[None, :])
-        uephy.rx_dl(tti, dl)
-        idx = uephy.prach_due(tti)
+        # TDD: UL subframes carry zeros on the DL stream — the sample
+        # clock still advances, but there is nothing to decode (the
+        # in-process runner likewise skips rx_dl when step_dl yields
+        # nothing); both loops run in sample lockstep, so tti numbering
+        # agrees with the eNB's
+        ul_sf = air.sf_kind(tti) == "U" or air.frame_type == "fdd"
+        if air.frame_type == "fdd" or air.sf_kind(tti) != "U":
+            uephy.rx_dl(tti, dl)
+        idx = uephy.prach_due(tti) if ul_sf else None
         if idx is not None:
             ul_samples = air.prach_tx_samples(idx)[0]
             stats["prach"] += 1
         else:
-            g = ue.ul_grid(tti, cqi_due=(tti % 20) == 5)
+            g = (ue.ul_grid(tti, cqi_due=air.cqi_due(tti))
+                 if ul_sf else None)
             ul_samples = (np.asarray(air.combine_ul([g], tti=tti))[0]
                           if g is not None else zeros)
         ul_tx.send(ul_samples)

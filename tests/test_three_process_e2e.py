@@ -43,13 +43,15 @@ def _result(proc: subprocess.Popen, timeout: float) -> dict:
     raise AssertionError(f"no RESULT line (rc={proc.returncode}):\n{out}")
 
 
-@pytest.mark.parametrize("n_ues,prb,ttis,base,tm", [
-    (1, 6, 480, 46200, 1),     # the round-4 point
-    (2, 6, 600, 46300, 1),     # >=2 UEs through the real processes
-    (1, 25, 360, 46400, 1),    # >=25 PRB through the real transports
-    (1, 6, 480, 46500, 4),     # flagship TM4 2x2 through the real bridge
+@pytest.mark.parametrize("n_ues,prb,ttis,base,tm,tdd", [
+    (1, 6, 480, 46200, 1, False),   # the round-4 point
+    (2, 6, 600, 46300, 1, False),   # >=2 UEs through the real processes
+    (1, 25, 360, 46400, 1, False),  # >=25 PRB through the real transports
+    (1, 6, 480, 46500, 4, False),   # flagship TM4 2x2 over the real bridge
+    (1, 6, 600, 46600, 1, True),    # frame structure type 2 (TDD cfg 1)
 ])
-def test_three_process_attach_and_ping(n_ues, prb, ttis, base, tm):
+def test_three_process_attach_and_ping(n_ues, prb, ttis, base, tm, tdd):
+    tdd_args = ["--tdd"] if tdd else []
     s1ap_port, gtpu_port = base + 12, base + 52
     dl_port, ul_port = base + 1, base + 2
 
@@ -63,12 +65,12 @@ def test_three_process_attach_and_ping(n_ues, prb, ttis, base, tm):
                  "--dl-port", str(dl_port), "--ul-port", str(ul_port),
                  "--s1ap-port", str(s1ap_port), "--gtpu-port", str(gtpu_port),
                  "--prb", str(prb), "--ttis", str(ttis),
-                 "--ues", str(n_ues), "--tm", str(tm))
+                 "--ues", str(n_ues), "--tm", str(tm), *tdd_args)
     ues = [_spawn("srsran_4g_tpu.apps.srsue",
                   "--dl-port", str(dl_port + 2 * i),
                   "--ul-port", str(ul_port + 2 * i),
                   "--prb", str(prb), "--ttis", str(ttis),
-                  "--ue-idx", str(i), "--tm", str(tm))
+                  "--ue-idx", str(i), "--tm", str(tm), *tdd_args)
            for i in range(n_ues)]
     try:
         ue_stats = [_result(u, timeout=1500) for u in ues]
