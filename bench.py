@@ -70,12 +70,16 @@ def main() -> None:
     # `batch` subframes — each chunk stays below the cliff (CRCs
     # verified every run) while the ~0.6 ms per-program launch cost
     # (tools/prof_split.py: a trivial kernel costs 0.594 ms/step even
-    # pipelined) amortises: 1×128→23.1k, 2×128→+7%, 4×128→+20%,
-    # 8×128→+24% measured (tools/prof_split.py chunked).
+    # pipelined) amortises.  Quiet-rig chunk sweep (round 5): 1×128 →
+    # 23.1k, 8→24.2k, 12→24.9k, 16→25.1k, 24→25.6k, 32→25.6k sf/s
+    # (plateau); default 24 = the knee.
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    chunks = int(os.environ.get("BENCH_CHUNKS", "8"))
+    chunks = int(os.environ.get("BENCH_CHUNKS", "24"))
     n_iter = int(os.environ.get("BENCH_TURBO_ITERS", "4"))
-    iters = int(os.environ.get("BENCH_REPS", "8"))
+    # 16 reps x 24 chunks ~= 2 s of measurement: repeatable to ~0.3%
+    # (25,858/25,941/25,919 sf/s in three consecutive quiet-rig runs);
+    # 8 reps showed ~5% downward noise
+    iters = int(os.environ.get("BENCH_REPS", "16"))
 
     print(
         f"bench: 100 PRB 64QAM tbs={cfg.tbs} G={cfg.g_bits} "
