@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tdd", action="store_true",
                     help="frame structure type 2 (UL/DL config 1); UL "
                          "subframes carry zeros on the DL bridge")
+    ap.add_argument("--cc", type=int, default=1, choices=(1, 2),
+                    help="component carriers (2 = SCell on its own DL "
+                         "bridge at dl_port+50+2i; data-only carrier, "
+                         "activated by MAC CE on good CQI)")
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args(argv)
 
@@ -106,8 +110,11 @@ def main(argv: list[str] | None = None) -> int:
     def s1u_tx(teid: int, pkt: bytes) -> None:
         gtpu.sendto(GU.pack(GU.GtpuHeader(teid=teid), pkt), epc_gtpu)
 
+    air_s = (LteAirPhy(nof_prb=nof_prb, cell_id=2, snr_db=args.snr,
+                       seed=11)
+             if args.cc == 2 else None)
     enb = EnbNode(air, stats, log, tx_s1ap=tx_s1ap, s1u_tx=s1u_tx,
-                  tm=args.tm)
+                  tm=args.tm, air_s=air_s)
     enb.rrc.s1_setup()
 
     # ---- IQ bridges: serve DL first, then connect to the UEs' UL --------
@@ -117,9 +124,17 @@ def main(argv: list[str] | None = None) -> int:
     dl_txs = []
     for i in range(args.ues):
         dl_txs.append(IqBridgeTx(args.dl_port + 2 * i))
+    # SCell DL bridges bind BEFORE any accept so UEs can connect in
+    # order (PCell DL, then SCell DL, then serve UL)
+    scell_txs = []
+    if args.cc == 2:
+        for i in range(args.ues):
+            scell_txs.append(IqBridgeTx(args.dl_port + 50 + 2 * i))
     print(f"srsenb: waiting for {args.ues} UE(s) on IQ port(s) "
           f"{args.dl_port}..", flush=True)
     for t in dl_txs:
+        t.accept()
+    for t in scell_txs:
         t.accept()
     ul_rxs = []
     for i in range(args.ues):
@@ -160,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
             if hdr.msg_type == GU.GTPU_MSG_DATA_PDU:
                 enb.rx_s1u(hdr.teid, payload)
 
-        dl_samples, _ = enb.step_dl(tti)
+        dl_samples, scell_samples = enb.step_dl(tti)
         # SISO: (1, sf_len) -> sf_len samples; 2x2: (1, 2rx, sf_len) ->
         # both RX-antenna streams concatenated (the UE reads 2*sf_len).
         # TDD UL subframes (step_dl -> None) stream zeros to keep the
@@ -170,6 +185,14 @@ def main(argv: list[str] | None = None) -> int:
                  else np.asarray(dl_samples)[0].reshape(-1))
         for t in dl_txs:
             t.send(dl_np)
+        if scell_txs:
+            # SCell is data-only: zeros between grants keep its sample
+            # clock running
+            s_np = (np.zeros(sf_len, np.complex64)
+                    if scell_samples is None
+                    else np.asarray(scell_samples)[0].reshape(-1))
+            for t in scell_txs:
+                t.send(s_np)
         ul = sum(rx.read(sf_len) for rx in ul_rxs)[None, :]
         ul_sf = air.sf_kind(tti) == "U" or air.frame_type == "fdd"
         # RA occasions: preambles ride the UL sample stream.  UEs stagger
@@ -200,11 +223,14 @@ def main(argv: list[str] | None = None) -> int:
 
     for t in dl_txs:
         t.close()
+    for t in scell_txs:
+        t.close()
     for rx in ul_rxs:
         rx.close()
     s1.close()
     gtpu.close()
     stats["dl_retx"] = enb.mac.metrics["dl_retx"]
+    stats["scell_tx"] = enb.mac.metrics.get("scell_tx", 0)
     print("RESULT " + json.dumps(stats), flush=True)
     return 0
 

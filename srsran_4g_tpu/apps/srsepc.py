@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pings", type=int, default=2,
                     help="DL pings per attached UE")
     ap.add_argument("--ping-interval", type=float, default=0.5)
+    ap.add_argument("--burst-bytes", type=int, default=0,
+                    help="after the ping train, push ONE DL burst of "
+                         "this size (exceeds a narrow PCell's per-TTI "
+                         "capacity, so a 2-CC eNB drains part of it on "
+                         "the SCell - run_lte.py's CA criterion)")
     ap.add_argument("--hss-db", default=None,
                     help="optional CSV subscriber DB (user_db.csv format)")
     ap.add_argument("--timeout", type=float, default=300.0)
@@ -104,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
 
     pings_sent: dict[str, int] = {}
     last_ping: dict[str, float] = {}
+    burst_sent: set[str] = set()
     t_end = time.time() + args.timeout
     attached: set[str] = set()
     while time.time() < t_end:
@@ -141,6 +147,13 @@ def main(argv: list[str] | None = None) -> int:
                 pings_sent[imsi] = sent + 1
                 last_ping[imsi] = now
                 stats["dl_ping_tx"] += 1
+            elif (args.burst_bytes and imsi not in burst_sent
+                    and sent >= args.pings
+                    and now - last_ping.get(imsi, 0) >= args.ping_interval):
+                mme.spgw.rx_sgi(bytes(16) + sess.ue_ip
+                                + bytes(args.burst_bytes))
+                burst_sent.add(imsi)
+                stats["dl_burst_tx"] = stats.get("dl_burst_tx", 0) + 1
     conn.close()
     srv.close()
     gtpu_sock.close()

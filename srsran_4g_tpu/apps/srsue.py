@@ -39,6 +39,9 @@ def main(argv: list[str] | None = None) -> int:
                          "bridge carries 2 RX-antenna streams per TTI)")
     ap.add_argument("--tdd", action="store_true",
                     help="frame structure type 2 (UL/DL config 1)")
+    ap.add_argument("--cc", type=int, default=1, choices=(1, 2),
+                    help="component carriers (2 = read the SCell DL "
+                         "stream from dl_port+50+2*ue_idx)")
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args(argv)
 
@@ -71,7 +74,10 @@ def main(argv: list[str] | None = None) -> int:
                     nof_rx=nof_ports,
                     frame_type="tdd" if args.tdd else "fdd")
     ue = UeNode(args.ue_idx, air, stats, log, tm=args.tm)
-    uephy = UePhy(ue, air)
+    air_s = (LteAirPhy(nof_prb=nof_prb, cell_id=2, snr_db=args.snr,
+                       seed=11)
+             if args.cc == 2 else None)
+    uephy = UePhy(ue, air, air_s)
 
     # connect to the eNB's DL stream first, then serve our UL stream
     dl_rx = None
@@ -84,6 +90,18 @@ def main(argv: list[str] | None = None) -> int:
     if dl_rx is None:
         print("srsue: DL bridge connect failed", flush=True)
         return 1
+    scell_rx = None
+    if args.cc == 2:
+        for _ in range(300):
+            try:
+                scell_rx = IqBridgeRx(
+                    args.dl_addr, args.dl_port + 50, timeout_ms=60000)
+                break
+            except OSError:
+                time.sleep(0.1)
+        if scell_rx is None:
+            print("srsue: SCell bridge connect failed", flush=True)
+            return 1
     ul_tx = IqBridgeTx(args.ul_port)
     ul_tx.accept()
     print("srsue: IQ bridges up", flush=True)
@@ -106,6 +124,9 @@ def main(argv: list[str] | None = None) -> int:
         ul_sf = air.sf_kind(tti) == "U" or air.frame_type == "fdd"
         if air.frame_type == "fdd" or air.sf_kind(tti) != "U":
             uephy.rx_dl(tti, dl)
+        if scell_rx is not None:
+            s_dl = jnp.asarray(scell_rx.read(sf_len)[None, :])
+            uephy.rx_dl_scell(tti, s_dl)
         idx = uephy.prach_due(tti) if ul_sf else None
         if idx is not None:
             ul_samples = air.prach_tx_samples(idx)[0]

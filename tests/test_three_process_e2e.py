@@ -43,34 +43,41 @@ def _result(proc: subprocess.Popen, timeout: float) -> dict:
     raise AssertionError(f"no RESULT line (rc={proc.returncode}):\n{out}")
 
 
-@pytest.mark.parametrize("n_ues,prb,ttis,base,tm,tdd", [
-    (1, 6, 480, 46200, 1, False),   # the round-4 point
-    (2, 6, 600, 46300, 1, False),   # >=2 UEs through the real processes
-    (1, 25, 360, 46400, 1, False),  # >=25 PRB through the real transports
-    (1, 6, 480, 46500, 4, False),   # flagship TM4 2x2 over the real bridge
-    (1, 6, 600, 46600, 1, True),    # frame structure type 2 (TDD cfg 1)
+@pytest.mark.parametrize("n_ues,prb,ttis,base,tm,tdd,cc", [
+    (1, 6, 480, 46200, 1, False, 1),   # the round-4 point
+    (2, 6, 600, 46300, 1, False, 1),   # >=2 UEs through the processes
+    (1, 25, 360, 46400, 1, False, 1),  # >=25 PRB over the transports
+    (1, 6, 480, 46500, 4, False, 1),   # flagship TM4 2x2 over the bridge
+    (1, 6, 600, 46600, 1, True, 1),    # frame structure type 2 (TDD cfg 1)
+    (1, 6, 600, 46700, 1, False, 2),   # 2-CC CA: SCell on its own bridge
 ])
-def test_three_process_attach_and_ping(n_ues, prb, ttis, base, tm, tdd):
+def test_three_process_attach_and_ping(n_ues, prb, ttis, base, tm, tdd, cc):
     tdd_args = ["--tdd"] if tdd else []
+    # a post-ping DL burst exceeds the 6 PRB PCell's per-TTI capacity,
+    # so part of it must drain on the SCell (run_lte.py CA criterion)
+    epc_extra = ["--burst-bytes", "4000"] if cc == 2 else []
+    n_extra = 1 if cc == 2 else 0      # the burst is one more DL packet
     s1ap_port, gtpu_port = base + 12, base + 52
     dl_port, ul_port = base + 1, base + 2
 
     epc = _spawn("srsran_4g_tpu.apps.srsepc",
                  "--s1ap-port", str(s1ap_port), "--gtpu-port", str(gtpu_port),
                  "--ues", str(n_ues), "--pings", str(PINGS),
-                 "--timeout", "1500")
+                 "--timeout", "1500", *epc_extra)
     import time
     time.sleep(1.0)                       # EPC binds its listeners
     enb = _spawn("srsran_4g_tpu.apps.srsenb",
                  "--dl-port", str(dl_port), "--ul-port", str(ul_port),
                  "--s1ap-port", str(s1ap_port), "--gtpu-port", str(gtpu_port),
                  "--prb", str(prb), "--ttis", str(ttis),
-                 "--ues", str(n_ues), "--tm", str(tm), *tdd_args)
+                 "--ues", str(n_ues), "--tm", str(tm), "--cc", str(cc),
+                 *tdd_args)
     ues = [_spawn("srsran_4g_tpu.apps.srsue",
                   "--dl-port", str(dl_port + 2 * i),
                   "--ul-port", str(ul_port + 2 * i),
                   "--prb", str(prb), "--ttis", str(ttis),
-                  "--ue-idx", str(i), "--tm", str(tm), *tdd_args)
+                  "--ue-idx", str(i), "--tm", str(tm), "--cc", str(cc),
+                  *tdd_args)
            for i in range(n_ues)]
     try:
         ue_stats = [_result(u, timeout=1500) for u in ues]
@@ -86,7 +93,7 @@ def test_three_process_attach_and_ping(n_ues, prb, ttis, base, tm, tdd):
         assert st["registered"], st
         assert st["sync_state"] == "camped", st
         assert st["pdsch_ko"] == 0, st
-        assert st["dl_ping_rx"] == PINGS, st           # 0% DL loss
+        assert st["dl_ping_rx"] == PINGS + n_extra, st  # 0% DL loss
         # CQI at target once reported (criterion: all cqi=15 at 30 dB)
         assert all(c >= 13 for c in st["cqi"][1:]), st
     assert enb_stats["prach"] == n_ues, enb_stats
@@ -96,5 +103,8 @@ def test_three_process_attach_and_ping(n_ues, prb, ttis, base, tm, tdd):
         # multiplexing actually crossed the process boundary
         assert enb_stats.get("pdsch_tx_rank2", 0) > 0, enb_stats
         assert any(st.get("pdsch_rank2", 0) > 0 for st in ue_stats), ue_stats
-    assert epc_stats["ul_ping_rx"] >= PINGS * n_ues, epc_stats  # 0% UL loss
+    if cc == 2:
+        # CA criterion: part of the burst drained on the SCell
+        assert enb_stats.get("scell_tx", 0) > 0, enb_stats
+    assert epc_stats["ul_ping_rx"] >= PINGS * n_ues + n_extra, epc_stats
     assert epc_stats["attach"] == n_ues, epc_stats
