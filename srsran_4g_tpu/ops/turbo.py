@@ -433,6 +433,18 @@ def _map_windowed_pl(lsa, lp, tail_sys, tail_par, win_len, train_len,
     kern_ver = os.environ.get("TURBO_KERNEL", "v9")
     if kern_ver in ("v7", "v8", "v9") and win_len % 4 != 0:
         kern_ver = "v4"               # v7/v8/v9 need a mid-point split
+    if kern_ver == "v6":
+        # v6 stores BOTH chains' full metrics in f32 — at windows >=~128
+        # its VMEM budget shrinks the lane tile below Mosaic's 128-lane
+        # minimum (un-lowerable block spec).  Demote to v7, which stores
+        # only half-depth and fuses emission (strictly faster anyway).
+        s_all, l2 = win_len + 2 * train_len, win_len // 2
+        tc = 256
+        while tc > 8 and 8 * tc * (s_all * 16 + 128 + l2 * 128) > (
+                15 * 1024 * 1024):
+            tc //= 2
+        if tc < 128:
+            kern_ver = "v7"
     if (kern_ver in ("v4", "v5", "v6", "v7", "v8", "v9") and win_len % 2 == 0
             and train_len % 2 == 0 and train_len >= 2):
         return _map_windowed_pl_r4(lsa, lp, tail_sys, tail_par, win_len,
