@@ -8,8 +8,10 @@ vs_baseline is measured against the reference's MEASURED host-aggregate
 throughput at the same configuration: 8,790 subframes/s (pdsch_test
 -n 100 -m 28, noiseless + CRC early stop, 2 processes saturating this
 host's 2 AVX-512 cores — BASELINE.md "Measured reference baseline").
-Current: 16,385 sf/s on one v5e chip = 1.86x the whole reference host
-(driver-recorded BENCH_r04.json; TURBO_KERNEL=v9 default, round 4).
+Current: 25,644 sf/s on one v5e chip = 2.92x the whole reference host
+(full both-lane run, round 5; isolated SISO runs 25,858-25,941 =
+~1% spread.  TURBO_KERNEL=v9 default + 24x128 chunked dispatch —
+round 4 driver-recorded BENCH_r04.json was 16,385 = 1.86x).
 
 Prints exactly ONE JSON line on stdout; details go to stderr.
 """
