@@ -42,6 +42,32 @@ snr_db = 12
     assert d["phy"]["nof_phy_threads"] == 4
 
 
+def test_shipped_example_configs_load_cleanly():
+    """The shipped ue/enb.conf.example files (the reference's
+    ue.conf.example / enb.conf.example counterparts) must parse with
+    ZERO unknown-key warnings — every key maps onto the typed tree."""
+    import warnings
+
+    apps = os.path.join(os.path.dirname(cfg_mod.__file__), "apps")
+    for name in ("ue.conf.example", "enb.conf.example"):
+        path = os.path.join(apps, name)
+        assert os.path.exists(path), path
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")       # unknown keys -> failure
+            c = cfg_mod.load_config(path)
+        assert c.cell.nof_prb == 25
+        assert c.rf.device_name == "file"
+        assert c.phy.turbo_train == 32
+        assert c.channel.awgn_enable is False
+    # and CLI overrides compose on top, as the apps use them
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        c = cfg_mod.load_config(
+            os.path.join(apps, "enb.conf.example"),
+            overrides=["cell.tm=4", "cell.nof_ports=2"])
+    assert (c.cell.tm, c.cell.nof_ports) == (4, 2)
+
+
 def test_iq_file_roundtrip(tmp_path):
     path = str(tmp_path / "iq.dat")
     rng = np.random.default_rng(0)
