@@ -67,7 +67,9 @@ def main() -> None:
     # batch sweep on v5e (round 5, after the soft-demod rewrite):
     # 96→19391, 128→23025 (plateau), 160→15475 sf/s; above ~160 the axon
     # backend miscompiles the fused graph (see ARCHITECTURE.md +
-    # tools/axon_repro.py batch_cliff).  Round-5 chunked dispatch: ONE
+    # tools/axon_repro.py batch_cliff).  Re-swept in chunked mode:
+    # 96→23.2k, 128→25.9k, 144→16.5k (the pre-cliff slowdown already
+    # bites at 144; CRCs stay green) — 128 per chunk stands.  Round-5 chunked dispatch: ONE
     # program lax.maps the fused receiver over `chunks` chunks of
     # `batch` subframes — each chunk stays below the cliff (CRCs
     # verified every run) while the ~0.6 ms per-program launch cost
