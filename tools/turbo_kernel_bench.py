@@ -18,7 +18,7 @@ from srsran_4g_tpu.ops import turbo
 
 K = int(os.environ.get("BENCH_K", "5824"))
 B = int(os.environ.get("BENCH_CBS", "1664"))
-WIN = int(os.environ.get("TURBO_WINDOW", "112"))
+WIN = int(os.environ.get("TURBO_WINDOW", "208"))  # ops/turbo.py default
 TRAIN = int(os.environ.get("TURBO_TRAIN", "32"))
 
 rng = np.random.default_rng(0)
